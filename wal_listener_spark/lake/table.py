@@ -1,0 +1,316 @@
+"""LakeTable — an Iceberg-style copy-on-write table over parquet.
+
+No Iceberg runtime jar ships in this environment, so the sink implements
+the same contract natively (public Iceberg spec concepts: versioned
+snapshot manifests, atomic pointer swap, schema evolution, snapshot
+properties):
+
+ - data lives in hash buckets on the merge key: ``bucket =
+   pmod(xxhash64(key), num_buckets)`` — a MERGE only reads and rewrites
+   *touched* buckets, never the whole table (at 100 TB a batch touching
+   1% of keys rewrites ~1% of files);
+ - a commit = write new bucket files -> write ``manifest/v{N}.json`` ->
+   atomically swap the ``VERSION`` pointer (os.replace). A crash at any
+   point leaves the previous snapshot readable (orphan files only);
+ - snapshot properties carry ``last_applied_lsn``, the committed
+   batch-id set and the relation registry — the lake-side half of the
+   exactly-once protocol (the reference's LSN-ack/standby-status:
+   ``/root/reference/internal/listener/listener.go:426-433,525-533``).
+   A replayed foreachBatch epoch is a manifest-level no-op, and a
+   replayed LSN range is a row-level no-op via the per-key
+   ``__lsn``-monotonic merge guard;
+ - schema evolution = adding columns to the manifest schema
+   (schema-on-read fills NULL for old files) — the Spark analog of
+   Iceberg ``ALTER TABLE ADD COLUMN`` driven by Relation messages
+   (``parser.go:71-93``);
+ - ``lineage`` records per-commit, per-bucket row counts — the
+   per-partition lineage/metrics the north_rule requires.
+
+Swap-in path for a real cluster: with
+``org.apache.iceberg:iceberg-spark-runtime`` on the classpath the merge
+below is one ``MERGE INTO ... WHEN MATCHED/NOT MATCHED`` statement; this
+class keeps identical semantics without the jar.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as SparkTypes
+
+LSN_COL = "__lsn"
+BUCKET_COL = "__bucket"
+
+
+def _bucket_expr(key_cols: list[str], num_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets))
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, root: str, manifest: dict):
+        self.spark = spark
+        self.root = root
+        self.manifest = manifest
+
+    # ------------------------------------------------------------- setup
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        key_cols: list[str],
+        fields: list[tuple[str, str]],
+        num_buckets: int = 32,
+    ) -> "LakeTable":
+        """CREATE TABLE IF NOT EXISTS analog (reference bootstraps its
+        publication idempotently — repository.go:36-42)."""
+        if os.path.exists(os.path.join(root, "manifest", "VERSION")):
+            return cls.load(spark, root)
+        os.makedirs(os.path.join(root, "manifest"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        manifest = {
+            "version": 0,
+            "key_cols": key_cols,
+            "num_buckets": num_buckets,
+            "schema": [{"name": n, "type": t} for n, t in fields],
+            "buckets": {},
+            "properties": {
+                "last_applied_lsn": -1,
+                "committed_batches": {},
+                "registry": [],
+            },
+            "lineage": [],
+        }
+        t = cls(spark, root, manifest)
+        t._commit_manifest()
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "LakeTable":
+        with open(os.path.join(root, "manifest", "VERSION")) as f:
+            v = int(f.read().strip())
+        with open(os.path.join(root, "manifest", f"v{v}.json")) as f:
+            return cls(spark, root, json.load(f))
+
+    # ---------------------------------------------------------- accessors
+    @property
+    def key_cols(self) -> list[str]:
+        return self.manifest["key_cols"]
+
+    @property
+    def num_buckets(self) -> int:
+        return self.manifest["num_buckets"]
+
+    @property
+    def properties(self) -> dict:
+        return self.manifest["properties"]
+
+    @property
+    def last_applied_lsn(self) -> int:
+        return self.properties.get("last_applied_lsn", -1)
+
+    @property
+    def field_names(self) -> list[str]:
+        return [f["name"] for f in self.manifest["schema"]]
+
+    def _read_schema(self) -> SparkTypes.StructType:
+        parts = [f"`{f['name']}` {f['type']}" for f in self.manifest["schema"]]
+        parts.append(f"`{LSN_COL}` bigint")
+        return SparkTypes.StructType.fromDDL(", ".join(parts))
+
+    def _bucket_files(self, buckets: list[int] | None = None) -> list[str]:
+        out: list[str] = []
+        items = self.manifest["buckets"].items()
+        for b, files in items:
+            if buckets is None or int(b) in buckets:
+                out.extend(os.path.join(self.root, f) for f in files)
+        return out
+
+    def read(self, buckets: list[int] | None = None) -> DataFrame:
+        """Snapshot read (explicit file list = snapshot isolation);
+        schema-on-read fills NULL for columns added after a file was
+        written (schema evolution)."""
+        files = self._bucket_files(buckets)
+        schema = self._read_schema()
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*files)
+
+    def read_public(self) -> DataFrame:
+        return self.read().select(*self.field_names)
+
+    # ----------------------------------------------------------- evolution
+    def ensure_columns(self, fields: list[tuple[str, str]]) -> bool:
+        """ALTER TABLE ADD COLUMN analog. Returns True if schema changed.
+        Only additive evolution is supported (pgoutput Relation updates in
+        practice add columns; type changes would need a rewrite)."""
+        existing = {f["name"] for f in self.manifest["schema"]}
+        changed = False
+        for name, typ in fields:
+            if name not in existing:
+                self.manifest["schema"].append({"name": name, "type": typ})
+                changed = True
+        return changed
+
+    # --------------------------------------------------------------- merge
+    def merge_batch(
+        self,
+        changes: DataFrame,
+        batch_key: str,
+        high_lsn: int,
+        truncate_lsn: int | None = None,
+        coalesce_cols: list[str] | None = None,
+        registry_json: list[dict] | None = None,
+    ) -> dict:
+        """Exactly-once MERGE of a compacted change set.
+
+        ``changes``: ONE row per key (already LWW-compacted batch-locally)
+        with columns = key cols + value cols + ``lsn`` + ``op``
+        ('I'/'U' upsert, 'D' delete).
+        ``coalesce_cols``: TOASTable columns — NULL in the batch means
+        "unchanged", merged as coalesce(source, target)
+        (SURVEY.md §7 hard part (c)).
+        ``batch_key`` idempotency: replaying an already-committed epoch is
+        a no-op (foreachBatch may re-deliver after crash); per-key
+        ``lsn``-monotonic guard makes overlapping LSN ranges no-ops too.
+        """
+        committed = self.properties.get("committed_batches", {})
+        if batch_key in committed:
+            return {"batch_key": batch_key, "noop": True, "reason": "replayed_epoch"}
+
+        key_cols = self.key_cols
+        value_cols = [f["name"] for f in self.manifest["schema"] if f["name"] not in key_cols]
+        coalesce_cols = coalesce_cols or []
+
+        chg = changes.withColumn(BUCKET_COL, _bucket_expr(key_cols, self.num_buckets))
+        affected = [r[BUCKET_COL] for r in chg.select(BUCKET_COL).distinct().collect()]
+        if truncate_lsn is not None:
+            affected = list(range(self.num_buckets))
+
+        target = self.read(affected if affected else []).withColumn(
+            BUCKET_COL, _bucket_expr(key_cols, self.num_buckets)
+        )
+        if truncate_lsn is not None:
+            target = target.filter(F.col(LSN_COL) > F.lit(truncate_lsn))
+
+        t = target.alias("t")
+        c = chg.alias("c")
+        cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"c.{k}")) for k in key_cols]
+        joined = t.join(c, cond, "full_outer")
+
+        c_lsn = F.col("c.lsn")
+        t_lsn = F.col(f"t.{LSN_COL}")
+        has_c = c_lsn.isNotNull()
+        has_t = t_lsn.isNotNull()
+        wins = has_c & (~has_t | (c_lsn > t_lsn))  # per-key monotonic guard (W1)
+
+        keep = (
+            # unmatched target rows, or stale/duplicate source change
+            (~has_c | ~wins)
+            # winning source change that is not a delete
+            | (wins & (F.col("c.op") != "D"))
+        )
+        drop_delete = wins & (F.col("c.op") == "D")
+
+        out_cols = []
+        for k in key_cols:
+            out_cols.append(F.coalesce(F.col(f"t.{k}"), F.col(f"c.{k}")).alias(k))
+        chg_cols = set(chg.columns)
+        for v in value_cols:
+            # a batch written before a column evolved in simply lacks it
+            src = F.col(f"c.{v}") if v in chg_cols else F.lit(None)
+            tgt = F.col(f"t.{v}")
+            if v in coalesce_cols:
+                new_val = F.coalesce(src, tgt)  # TOAST: unchanged keeps target
+            else:
+                new_val = src
+            out_cols.append(F.when(wins, new_val).otherwise(tgt).alias(v))
+        out_cols.append(F.when(wins, c_lsn).otherwise(t_lsn).alias(LSN_COL))
+        out_cols.append(
+            F.coalesce(F.col(f"t.{BUCKET_COL}"), F.col(f"c.{BUCKET_COL}")).alias(
+                BUCKET_COL
+            )
+        )
+
+        result = joined.filter(keep & ~drop_delete).select(*out_cols)
+
+        new_version = self.manifest["version"] + 1
+        rel_dir = f"data/v{new_version}"
+        out_dir = os.path.join(self.root, rel_dir)
+        (
+            result.repartition(max(len(affected), 1), F.col(BUCKET_COL))
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+
+        # collect per-bucket files + row counts (lineage)
+        new_buckets: dict[str, list[str]] = {}
+        for entry in os.listdir(out_dir):
+            if not entry.startswith(f"{BUCKET_COL}="):
+                continue
+            b = entry.split("=", 1)[1]
+            files = [
+                f"{rel_dir}/{entry}/{fn}"
+                for fn in os.listdir(os.path.join(out_dir, entry))
+                if fn.endswith(".parquet")
+            ]
+            new_buckets[b] = files
+
+        buckets = dict(self.manifest["buckets"])
+        if truncate_lsn is not None:
+            buckets = {}
+        for b in affected:
+            buckets.pop(str(b), None)
+        buckets.update(new_buckets)
+
+        n_changes = chg.count()
+        n_deletes = chg.filter(F.col("op") == "D").count()
+        stats = {
+            "batch_key": batch_key,
+            "noop": False,
+            "high_lsn": high_lsn,
+            "upserts": n_changes - n_deletes,
+            "deletes": n_deletes,
+            "truncate_lsn": truncate_lsn,
+            "buckets_rewritten": sorted(int(b) for b in new_buckets),
+            "snapshot_version": new_version,
+        }
+
+        self.manifest["version"] = new_version
+        self.manifest["buckets"] = buckets
+        props = self.manifest["properties"]
+        props["last_applied_lsn"] = max(self.last_applied_lsn, high_lsn)
+        cb = dict(props.get("committed_batches", {}))
+        cb[batch_key] = high_lsn
+        props["committed_batches"] = cb
+        if registry_json is not None:
+            props["registry"] = registry_json
+        self.manifest["lineage"].append(stats)
+        self._commit_manifest()
+        return stats
+
+    # -------------------------------------------------------------- commit
+    def _commit_manifest(self) -> None:
+        """Atomic snapshot commit: manifest file then VERSION pointer swap
+        (the lake analog of SendStandbyStatus acking the LSN —
+        listener.go:525-533)."""
+        v = self.manifest["version"]
+        mdir = os.path.join(self.root, "manifest")
+        os.makedirs(mdir, exist_ok=True)
+        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(self.manifest, f)
+        os.replace(tmp, os.path.join(mdir, f"v{v}.json"))
+        tmp2 = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp2, "w") as f:
+            f.write(str(v))
+        os.replace(tmp2, os.path.join(mdir, "VERSION"))
+
+    def save_properties(self) -> None:
+        self.manifest["version"] += 1
+        self._commit_manifest()

@@ -1,0 +1,66 @@
+"""SparkSession factory tuned for the CDC replay workload.
+
+Local-mode analog of the reference's connection bootstrap
+(``cmd/wal-listener/init.go:17-63``): where the Go daemon opens pgx
+sockets, we open a SparkSession with AQE + Arrow enabled so the decode
+UDFs run vectorized and skewed shuffles re-plan at runtime.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "wal_listener_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    ``shuffle_partitions`` defaults to the local core count — on a real
+    cluster this would be sized to ~2-3x total executor cores; the knob is
+    explicit so bench can sweep it.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    ncores = _parse_local_cores(master, cpus)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(ncores, 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.spill.compress", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def _parse_local_cores(master: str, default: int) -> int:
+    if master.startswith("local["):
+        inner = master[len("local[") : -1]
+        if inner == "*":
+            return os.cpu_count() or default
+        try:
+            return int(inner)
+        except ValueError:
+            return default
+    return default
