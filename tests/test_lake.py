@@ -1,0 +1,139 @@
+"""LakeTable contract: atomic snapshots, incremental bucket rewrite,
+schema evolution, idempotent commits."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import FIELDS
+
+
+def _mk(spark, tmp_path, buckets=8):
+    from wal_listener_spark.lake.table import LakeTable
+
+    return LakeTable.create(
+        spark, str(tmp_path / "t"), ["repo", "path"], FIELDS, num_buckets=buckets
+    )
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, content string,"
+        " lsn long, op string",
+    )
+
+
+def test_merge_upsert_delete_roundtrip(spark, tmp_path):
+    tb = _mk(spark, tmp_path)
+    tb.merge_batch(
+        _changes(
+            spark,
+            [
+                ("r1", "a.py", "c1", "py", "x1", 10, "I"),
+                ("r1", "b.py", "c1", "py", "x2", 11, "I"),
+            ],
+        ),
+        "b0",
+        11,
+    )
+    tb.merge_batch(
+        _changes(
+            spark,
+            [
+                ("r1", "a.py", "c2", "py", "x1-new", 20, "U"),
+                ("r1", "b.py", None, None, None, 21, "D"),
+            ],
+        ),
+        "b1",
+        21,
+    )
+    rows = {r["path"]: r.asDict() for r in tb.read_public().collect()}
+    assert set(rows) == {"a.py"}
+    assert rows["a.py"]["content"] == "x1-new"
+
+
+def test_stale_lsn_is_noop(spark, tmp_path):
+    """Per-key lsn-monotonic merge guard: replaying an older change must
+    not regress the row (W1 watermark semantics, listener.go:426)."""
+    tb = _mk(spark, tmp_path)
+    tb.merge_batch(_changes(spark, [("r1", "a.py", "c2", "py", "new", 20, "I")]), "b0", 20)
+    tb.merge_batch(_changes(spark, [("r1", "a.py", "c1", "py", "old", 10, "U")]), "b1", 21)
+    rows = tb.read_public().collect()
+    assert rows[0]["content"] == "new"
+
+
+def test_toast_coalesce_keeps_target(spark, tmp_path):
+    """NULL in a coalesce_col means TOAST-unchanged: target value wins
+    (SURVEY.md §7 hard part (c))."""
+    tb = _mk(spark, tmp_path)
+    tb.merge_batch(_changes(spark, [("r1", "a.py", "c1", "py", "keepme", 10, "I")]), "b0", 10)
+    tb.merge_batch(
+        _changes(spark, [("r1", "a.py", "c2", "py", None, 20, "U")]),
+        "b1",
+        20,
+        coalesce_cols=["content"],
+    )
+    row = tb.read_public().collect()[0]
+    assert row["content"] == "keepme"
+    assert row["commit"] == "c2"
+
+
+def test_incremental_bucket_rewrite(spark, tmp_path):
+    """A merge touching one key rewrites only that key's bucket —
+    the 100TB-scale property (a 1% batch rewrites ~1% of files)."""
+    tb = _mk(spark, tmp_path, buckets=8)
+    rows = [(f"r{i}", f"f{i}.py", "c", "py", f"v{i}", 10 + i, "I") for i in range(64)]
+    tb.merge_batch(_changes(spark, rows), "b0", 100)
+    before = dict(tb.manifest["buckets"])
+    stats = tb.merge_batch(
+        _changes(spark, [("r1", "f1.py", "c", "py", "v1x", 200, "U")]), "b1", 200
+    )
+    assert len(stats["buckets_rewritten"]) == 1
+    after = tb.manifest["buckets"]
+    unchanged = [b for b in before if int(b) not in stats["buckets_rewritten"]]
+    assert unchanged and all(before[b] == after[b] for b in unchanged)
+    got = {r["path"]: r["content"] for r in tb.read_public().collect()}
+    assert got["f1.py"] == "v1x" and len(got) == 64
+
+
+def test_schema_evolution_adds_column(spark, tmp_path):
+    """ensure_columns == Iceberg ALTER TABLE ADD COLUMN: old files read
+    NULL for the new column (P4 Relation-driven evolution)."""
+    tb = _mk(spark, tmp_path)
+    tb.merge_batch(_changes(spark, [("r1", "a.py", "c1", "py", "x", 10, "I")]), "b0", 10)
+    assert tb.ensure_columns([("stars", "int")])
+    assert not tb.ensure_columns([("stars", "int")])  # idempotent
+    chg = spark.createDataFrame(
+        [("r2", "b.py", "c1", "py", "y", 5, 20, "I")],
+        "repo string, path string, commit string, lang string, content string,"
+        " stars int, lsn long, op string",
+    )
+    tb.merge_batch(chg, "b1", 20)
+    rows = {r["path"]: r.asDict() for r in tb.read_public().collect()}
+    assert rows["a.py"]["stars"] is None
+    assert rows["b.py"]["stars"] == 5
+
+
+def test_atomic_version_swap_and_load(spark, tmp_path):
+    tb = _mk(spark, tmp_path)
+    tb.merge_batch(_changes(spark, [("r1", "a.py", "c1", "py", "x", 10, "I")]), "b0", 10)
+    vdir = os.path.join(str(tmp_path / "t"), "manifest")
+    v = int(open(os.path.join(vdir, "VERSION")).read())
+    assert os.path.exists(os.path.join(vdir, f"v{v}.json"))
+    from wal_listener_spark.lake.table import LakeTable
+
+    tb2 = LakeTable.load(spark, str(tmp_path / "t"))
+    assert tb2.manifest["version"] == v
+    assert tb2.last_applied_lsn == 10
+    assert tb2.read_public().count() == 1
+
+
+def test_lineage_records_per_commit(spark, tmp_path):
+    tb = _mk(spark, tmp_path)
+    tb.merge_batch(_changes(spark, [("r1", "a.py", "c1", "py", "x", 10, "I")]), "b0", 10)
+    tb.merge_batch(_changes(spark, [("r1", "a.py", None, None, None, 20, "D")]), "b1", 20)
+    lin = tb.manifest["lineage"]
+    assert [e["batch_key"] for e in lin] == ["b0", "b1"]
+    assert lin[0]["upserts"] == 1 and lin[1]["deletes"] == 1
+    assert all("buckets_rewritten" in e for e in lin)

@@ -1,0 +1,101 @@
+"""Unit coverage for individual operators: events/routing, assembly
+integrity, skew helpers."""
+
+from pyspark.sql import functions as F
+
+from wal_listener_spark.operators import events, skew
+from wal_listener_spark.operators.assemble import (
+    assemble_transactions,
+    integrity_violations,
+)
+
+
+def test_subject_name_parity(spark):
+    """Routing format parity with the reference's NATS test expectation
+    ``STREAM.prefix_public_users`` (internal/publisher/nats_test.go:27-44,
+    event.go:24-36)."""
+    df = spark.createDataFrame([("public", "users")], "s string, t string")
+    out = df.select(
+        events.subject_name(F.col("s"), F.col("t"), "STREAM", "prefix_").alias("subj")
+    ).collect()[0]["subj"]
+    assert out == "STREAM.prefix_public_users"
+
+
+def test_subject_topics_map_override(spark):
+    df = spark.createDataFrame([("public", "users"), ("public", "other")], "s string, t string")
+    out = {
+        r["subj"]
+        for r in df.select(
+            events.subject_name(
+                F.col("s"), F.col("t"), "STREAM", "", {"public_users": "custom"}
+            ).alias("subj")
+        ).collect()
+    }
+    assert out == {"STREAM.custom", "STREAM.public_other"}
+
+
+def test_deterministic_event_id_stable_and_uuid_shaped(spark):
+    df = spark.createDataFrame([(100, 1), (100, 1), (100, 2)], "lsn long, seq int")
+    ids = [
+        r["id"]
+        for r in df.select(
+            events.deterministic_event_id(F.col("lsn"), F.col("seq")).alias("id")
+        ).collect()
+    ]
+    assert ids[0] == ids[1] != ids[2]
+    parts = ids[0].split("-")
+    assert [len(p) for p in parts] == [8, 4, 4, 4, 12]
+
+
+def _trace(spark, rows):
+    from wal_listener_spark.trace.generator import TRACE_SCHEMA
+
+    return spark.createDataFrame(rows, TRACE_SCHEMA)
+
+
+def test_assembly_stamps_commit_and_quarantines(spark):
+    """Data rows get their tx's commit_ts; a tx with no Commit is the
+    ErrMessageLost condition (parser.go:20-23) -> quarantined."""
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        (16, 1, -1, "B", None, None, None, None, None, None, None, ts, None),
+        (17, 1, 0, "I", 1, None, None, None, None, {"repo": "r"}, [], None, None),
+        (23, 1, 999, "C", None, None, None, None, None, None, None, ts, None),
+        (33, 2, 0, "I", 1, None, None, None, None, {"repo": "x"}, [], None, None),
+        # tx 2 has no Commit
+    ]
+    committed, quarantined = assemble_transactions(_trace(spark, rows))
+    c = committed.collect()
+    assert len(c) == 1 and c[0]["commit_ts"] == ts and c[0]["commit_lsn"] == 23
+    assert quarantined.count() == 1
+
+
+def test_integrity_violations_frame(spark):
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        (17, 1, 0, "I", 1, None, None, None, None, {"repo": "r"}, [], None, None),
+        (23, 1, 999, "C", None, None, None, None, None, None, None, ts, None),
+    ]
+    v = integrity_violations(_trace(spark, rows)).collect()
+    assert len(v) == 1 and v[0]["has_begin"] == 0
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    df = spark.range(10000).select(
+        (F.col("id") % 5).alias("g"), F.col("id").alias("x")
+    )
+    plain = {
+        r["g"]: (r["n"], r["s"])
+        for r in df.groupBy("g").agg(F.count("x").alias("n"), F.sum("x").alias("s")).collect()
+    }
+    salted = {
+        r["g"]: (r["n"], r["s"])
+        for r in skew.salted_agg(
+            df, ["g"], ["x"], {"n": ("count", "x"), "s": ("sum", "x")}, buckets=16
+        ).collect()
+    }
+    assert plain == salted

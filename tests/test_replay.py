@@ -1,0 +1,143 @@
+"""End-to-end replay vs the sequential oracle (FIXTURES.md §6 scenarios).
+
+The oracle applies events one at a time in (lsn, tx_id, seq) order —
+the reference's single-threaded semantics (listener.go:364-386) — and the
+distributed pipeline must reach the identical final state."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import FIELDS, SF_DIR
+from wal_listener_spark import oracle, pipeline
+from wal_listener_spark.config import PipelineConfig
+from wal_listener_spark.lake.table import LakeTable
+from wal_listener_spark.trace import generator, spec
+
+
+def _fresh_table(spark, tmp_path, buckets=8):
+    return LakeTable.create(
+        spark, str(tmp_path / "lake"), ["repo", "path"], FIELDS, num_buckets=buckets
+    )
+
+
+def _state(spark, root):
+    tb = LakeTable.load(spark, root)
+    return {(r["repo"], r["path"]): r.asDict() for r in tb.read_public().collect()}
+
+
+def _assert_matches(got, expected):
+    assert set(got) == set(expected)
+    for k, e in expected.items():
+        g = got[k]
+        assert g["content"] == e.get("content"), k
+        assert g["commit"] == e.get("commit"), k
+        # the per-row invariant from BASELINE.json input_hint
+        assert (
+            hashlib.sha256((g["content"] or "").encode()).hexdigest()
+            == hashlib.sha256((e.get("content") or "").encode()).hexdigest()
+        )
+        exp_stars = e.get("stars")
+        assert g.get("stars") == (int(exp_stars) if exp_stars is not None else None), k
+
+
+def test_full_replay_matches_oracle(spark, trace_rows, tmp_path):
+    trace, rows = trace_rows
+    expected = oracle.apply_trace(rows)
+    tb = _fresh_table(spark, tmp_path)
+    stats = pipeline.replay_batch(trace, tb, PipelineConfig(num_buckets=8), "b0")
+    assert not stats["noop"]
+    got = _state(spark, str(tmp_path / "lake"))
+    _assert_matches(got, expected)
+    # schema evolution happened: 'stars' column exists, NULL for pre-evolution keys
+    tb = LakeTable.load(spark, str(tmp_path / "lake"))
+    assert "stars" in tb.field_names
+    assert any(v.get("stars") is not None for v in got.values())
+    assert any(v.get("stars") is None for v in got.values())
+
+
+def test_truncate_mid_stream(spark, tmp_path):
+    trace = generator.build_trace(spark, SF_DIR, amplify=1, k_tr=120)
+    rows = [r.asDict(recursive=True) for r in trace.collect()]
+    expected = oracle.apply_trace(rows)
+    # truncate must actually have removed something
+    full = oracle.apply_trace([r for r in rows if r["op"] != "T"])
+    assert len(expected) < len(full)
+    tb = _fresh_table(spark, tmp_path)
+    pipeline.replay_batch(trace, tb, PipelineConfig(num_buckets=8), "b0")
+    _assert_matches(_state(spark, str(tmp_path / "lake")), expected)
+
+
+def test_split_replay_with_overlap_exactly_once(spark, trace_rows, tmp_path):
+    """Duplicate LSN ranges across micro-batches must be absorbed
+    (the exactly-once upgrade of the reference's at-least-once,
+    README.md:57 + listener.go:426 LSN guard)."""
+    trace, rows = trace_rows
+    expected = oracle.apply_trace(rows)
+    median = sorted(r["lsn"] for r in rows)[len(rows) // 2]
+    split = (median // spec.SLOT) * spec.SLOT
+    first = trace.filter(F.col("lsn") < split)
+    second = trace.filter(F.col("lsn") >= split - 4 * spec.SLOT)  # 4-tx overlap
+    root = str(tmp_path / "lake")
+    tb = _fresh_table(spark, tmp_path)
+    cfg = PipelineConfig(num_buckets=8)
+    pipeline.replay_batch(first, tb, cfg, "b0")
+    tb = LakeTable.load(spark, root)
+    pipeline.replay_batch(second, tb, cfg, "b1")
+    _assert_matches(_state(spark, root), expected)
+
+
+def test_epoch_replay_is_noop(spark, trace_rows, tmp_path):
+    trace, _ = trace_rows
+    root = str(tmp_path / "lake")
+    tb = _fresh_table(spark, tmp_path)
+    cfg = PipelineConfig(num_buckets=8)
+    pipeline.replay_batch(trace, tb, cfg, "b0")
+    before = _state(spark, root)
+    s = pipeline.replay_batch(trace, LakeTable.load(spark, root), cfg, "b0")
+    assert s["noop"]
+    assert _state(spark, root) == before
+
+
+def test_filter_allowlist_drops_deletes(spark, trace_rows, tmp_path):
+    trace, rows = trace_rows
+    expected = oracle.apply_trace([r for r in rows if r["op"] != "D"])
+    tb = _fresh_table(spark, tmp_path)
+    cfg = PipelineConfig(
+        num_buckets=8, filter_tables={"repos": ["insert", "update", "truncate"]}
+    )
+    pipeline.replay_batch(trace, tb, cfg, "b0")
+    got = _state(spark, str(tmp_path / "lake"))
+    assert set(got) == set(expected)
+
+
+def test_filter_unknown_table_drops_everything(spark, trace_rows, tmp_path):
+    """Tables absent from the filter map are dropped (wal.go:150-158),
+    but the LSN watermark still advances (ack proceeds)."""
+    trace, _ = trace_rows
+    tb = _fresh_table(spark, tmp_path)
+    pipeline.replay_batch(
+        trace, tb, PipelineConfig(num_buckets=8, filter_tables={"other": ["insert"]}), "b0"
+    )
+    tb = LakeTable.load(spark, str(tmp_path / "lake"))
+    assert tb.read_public().count() == 0
+    assert tb.last_applied_lsn > 0
+
+
+def test_hot_key_skew_present(spark, trace_rows):
+    """The generator's skew knob: one repo carries >= 25% of keys
+    (FIXTURES.md §6.7) — the workload salting/AQE is graded on."""
+    _, rows = trace_rows
+    final = oracle.apply_trace(rows)
+    hot = sum(1 for (repo, _p) in final if repo == spec.HOT_REPO)
+    assert hot / len(final) >= 0.25
+
+
+def test_noise_ops_ignored(spark, trace_rows, tmp_path):
+    """Origin 'O' / Type 'Y' messages are logged-and-ignored
+    (parser.go:68-69,94-95)."""
+    trace, rows = trace_rows
+    assert any(r["op"] in ("O", "Y") for r in rows)
+    expected = oracle.apply_trace([r for r in rows if r["op"] not in ("O", "Y")])
+    assert expected == oracle.apply_trace(rows)

@@ -4,7 +4,9 @@ Mirrors the reference's ``Column.AssertValue`` dispatch
 (``/root/reference/internal/listener/transaction/data.go:59-125``, OIDs in
 ``pg_type.go:5-21``). pgoutput delivers every cell as text (`t` tuples,
 ``parser.go:325-344``); this module turns a text column into its typed
-Spark column. All casts are built-in Catalyst expressions — whole-stage
+Spark column. All casts are built-in Catalyst try_cast expressions
+(ANSI-safe: malformed input yields NULL, mirroring the reference's
+log-and-continue permissive decode) — whole-stage
 codegen'd, no Python in the hot path.
 
 Parity decisions (SURVEY.md §1.2):
@@ -65,19 +67,19 @@ def cast_text_value(col: Column, oid: int) -> Column:
     if oid == BOOL_OID:
         # strconv.ParseBool accepts 1/t/T/TRUE/true/True and the f-forms
         # (data.go:78-79); Spark's boolean cast accepts the same set.
-        return col.cast("boolean")
+        return col.try_cast("boolean")
     if oid == INT2_OID:
-        return col.cast("smallint")
+        return col.try_cast("smallint")
     if oid == INT4_OID:
-        return col.cast("int")
+        return col.try_cast("int")
     if oid == INT8_OID:
-        return col.cast("bigint")
+        return col.try_cast("bigint")
     if oid == TIMESTAMP_OID:
         # layout '2006-01-02 15:04:05[.ffffff]' (data.go:73,86-87)
-        return col.cast("timestamp_ntz")
+        return col.try_cast("timestamp_ntz")
     if oid == TIMESTAMPTZ_OID:
         # layout with offset, parsed into UTC (data.go:74,88-89)
-        return col.cast("timestamp")
+        return col.try_cast("timestamp")
     if oid == UUID_OID:
         # uuid.Parse canonicalizes case (data.go:92-93)
         return F.lower(col)
