@@ -1,0 +1,131 @@
+"""Byte-level decode parity — the Spark analog of the reference's
+parser tests (``internal/listener/transaction/parser_test.go``): known
+byte frames in, decoded structures out, including null/TOAST cells,
+Update old-tuple variants, Truncate fan-out and unknown-type tolerance."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from wal_listener_spark.operators import decode
+from wal_listener_spark.operators.registry import RelationRegistry, RelationSchema
+from wal_listener_spark.trace import framed, framing, generator
+from wal_listener_spark.trace.framing import ts_to_pg_micros
+
+
+def _decode_frames(spark, frames: list[tuple[int, bytes]]):
+    df = spark.createDataFrame(frames, "lsn long, frame binary")
+    return {r["lsn"]: r.asDict(recursive=True) for r in decode.decode_frames(df).collect()}
+
+
+def test_begin_commit_roundtrip(spark):
+    ts = datetime.datetime(2022, 8, 27, 17, 44, 1, tzinfo=datetime.timezone.utc)
+    us = ts_to_pg_micros(ts.timestamp())
+    out = _decode_frames(
+        spark,
+        [(1, framing.encode_begin(100, us, 7)), (2, framing.encode_commit(100, 105, us))],
+    )
+    b, c = out[1], out[2]
+    assert b["op"] == "B" and b["xid"] == 7
+    assert b["commit_ts"].replace(tzinfo=datetime.timezone.utc) == ts
+    assert c["op"] == "C"
+    assert c["commit_ts"].replace(tzinfo=datetime.timezone.utc) == ts
+
+
+def test_insert_with_null_and_toast_cells(spark):
+    # tuple cells: 't' text / 'n' null / 'u' toast (parser.go:325-344)
+    f = framing.encode_insert(5, [("t", b"42"), ("n", None), ("u", None)])
+    out = _decode_frames(spark, [(10, f)])[10]
+    assert out["op"] == "I" and out["rel_id"] == 5
+    assert out["new_cells"] == [
+        {"tag": "t", "value": "42"},
+        {"tag": "n", "value": None},
+        {"tag": "u", "value": None},
+    ]
+
+
+def test_update_with_key_old_tuple(spark):
+    f = framing.encode_update(
+        7, [("t", b"new")], old_cells=[("t", b"old")], old_kind="K"
+    )
+    out = _decode_frames(spark, [(11, f)])[11]
+    assert out["old_cells"][0]["value"] == "old"
+    assert out["new_cells"][0]["value"] == "new"
+
+
+def test_update_without_old_tuple(spark):
+    f = framing.encode_update(7, [("t", b"new")])
+    out = _decode_frames(spark, [(12, f)])[12]
+    assert out["old_cells"] is None and out["new_cells"][0]["value"] == "new"
+
+
+def test_delete_old_tuple(spark):
+    f = framing.encode_delete(7, [("t", b"key")], old_kind="O")
+    out = _decode_frames(spark, [(13, f)])[13]
+    assert out["op"] == "D" and out["old_cells"][0]["value"] == "key"
+
+
+def test_relation_columns(spark):
+    f = framing.encode_relation(
+        3, "public", "users", [("id", 23, True), ("name", 1043, False)]
+    )
+    out = _decode_frames(spark, [(14, f)])[14]
+    assert out["schema_name"] == "public" and out["table_name"] == "users"
+    assert out["rel_columns"] == [
+        {"name": "id", "type_oid": 23, "is_key": True, "typmod": -1},
+        {"name": "name", "type_oid": 1043, "is_key": False, "typmod": -1},
+    ]
+
+
+def test_truncate_fanout_and_unknown_type_skipped(spark):
+    # Truncate fans out per relation (parser.go:212-225); unknown message
+    # types are skipped without error (parser.go:171-173)
+    frames = [(20, framing.encode_truncate([1, 2], option=1)), (21, b"Zjunk")]
+    df = decode.decode_frames(
+        spark.createDataFrame(frames, "lsn long, frame binary")
+    )
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["truncate_rel_ids"] == [1, 2]
+    reg = RelationRegistry()
+    reg.relations[1] = RelationSchema(1, "public", "t1", [("k", 25, True)])
+    reg.relations[2] = RelationSchema(2, "public", "t2", [("k", 25, True)])
+    fanned = decode.resolve_names(df, reg).filter(F.col("op") == "T").collect()
+    assert sorted(r["rel_id"] for r in fanned) == [1, 2]
+
+
+def test_framed_roundtrip_matches_oracle(spark, tmp_path):
+    """Full capability test: columnar -> byte frames -> vectorized decode
+    -> registry name resolution -> tx assignment -> replay == oracle."""
+    from tests.conftest import FIELDS, SF_DIR
+    from wal_listener_spark import oracle, pipeline
+    from wal_listener_spark.config import PipelineConfig
+    from wal_listener_spark.lake.table import LakeTable
+
+    trace = generator.build_trace(spark, SF_DIR, amplify=1, k_tr=100)
+    rows = [r.asDict(recursive=True) for r in trace.collect()]
+    expected = oracle.apply_trace(rows)
+
+    frames = framed.frames_from_columnar(trace)
+    decoded = decode.decode_frames(frames)
+    reg = RelationRegistry().update_from_trace(
+        decoded.filter("op = 'R'").select(
+            "lsn", "rel_id", "schema_name", "table_name", "rel_columns"
+        )
+    )
+    columnar = decode.assign_tx(decode.resolve_names(decoded, reg), per_range=False)
+
+    tb = LakeTable.create(
+        spark, str(tmp_path / "t"), ["repo", "path"], FIELDS, num_buckets=8
+    )
+    pipeline.replay_batch(columnar, tb, PipelineConfig(num_buckets=8), "b0")
+    got = {
+        (r["repo"], r["path"]): r.asDict()
+        for r in LakeTable.load(spark, str(tmp_path / "t")).read_public().collect()
+    }
+    assert set(got) == set(expected)
+    assert all(got[k]["content"] == expected[k].get("content") for k in expected)
+    assert all(
+        got[k].get("stars") == (int(e["stars"]) if e.get("stars") is not None else None)
+        for k, e in expected.items()
+    )
