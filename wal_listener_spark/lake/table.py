@@ -44,6 +44,7 @@ from pyspark.sql import types as SparkTypes
 
 LSN_COL = "__lsn"
 BUCKET_COL = "__bucket"
+DELETED_COL = "__deleted"
 
 
 def _bucket_expr(key_cols: list[str], num_buckets: int):
@@ -120,6 +121,7 @@ class LakeTable:
     def _read_schema(self) -> SparkTypes.StructType:
         parts = [f"`{f['name']}` {f['type']}" for f in self.manifest["schema"]]
         parts.append(f"`{LSN_COL}` bigint")
+        parts.append(f"`{DELETED_COL}` boolean")
         return SparkTypes.StructType.fromDDL(", ".join(parts))
 
     def _bucket_files(self, buckets: list[int] | None = None) -> list[str]:
@@ -141,7 +143,14 @@ class LakeTable:
         return self.spark.read.schema(schema).parquet(*files)
 
     def read_public(self) -> DataFrame:
-        return self.read().select(*self.field_names)
+        """Live rows only — delete tombstones filtered out. Tombstones
+        (rows with ``__deleted``) keep the per-key LSN watermark so
+        out-of-order micro-batches cannot resurrect a deleted key; a
+        compaction pass may GC tombstones older than the global low
+        watermark (future work)."""
+        return self.read().filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).select(
+            *self.field_names
+        )
 
     # ----------------------------------------------------------- evolution
     def ensure_columns(self, fields: list[tuple[str, str]]) -> bool:
@@ -177,6 +186,13 @@ class LakeTable:
         ``batch_key`` idempotency: replaying an already-committed epoch is
         a no-op (foreachBatch may re-deliver after crash); per-key
         ``lsn``-monotonic guard makes overlapping LSN ranges no-ops too.
+
+        The merge is **order-independent across batches**: deletes write
+        tombstones (the key's LSN watermark survives), and truncates
+        advance a table-level ``truncate_lsn`` watermark, so micro-batches
+        may arrive in any LSN order (distributed file listing makes no
+        ordering promise) and the final state still converges to the
+        sequential-oracle result.
         """
         committed = self.properties.get("committed_batches", {})
         if batch_key in committed:
@@ -186,7 +202,15 @@ class LakeTable:
         value_cols = [f["name"] for f in self.manifest["schema"] if f["name"] not in key_cols]
         coalesce_cols = coalesce_cols or []
 
-        chg = changes.withColumn(BUCKET_COL, _bucket_expr(key_cols, self.num_buckets))
+        # truncate watermark: wipes everything applied before it, and
+        # blocks any later-arriving pre-truncate change from resurrecting
+        prev_trunc = self.properties.get("truncate_lsn", -1)
+        eff_trunc = max(prev_trunc, truncate_lsn if truncate_lsn is not None else -1)
+
+        chg = changes
+        if eff_trunc >= 0:
+            chg = chg.filter((F.col("lsn") > F.lit(eff_trunc)) | (F.col("op") == "D"))
+        chg = chg.withColumn(BUCKET_COL, _bucket_expr(key_cols, self.num_buckets))
         affected = [r[BUCKET_COL] for r in chg.select(BUCKET_COL).distinct().collect()]
         if truncate_lsn is not None:
             affected = list(range(self.num_buckets))
@@ -207,36 +231,40 @@ class LakeTable:
         has_c = c_lsn.isNotNull()
         has_t = t_lsn.isNotNull()
         wins = has_c & (~has_t | (c_lsn > t_lsn))  # per-key monotonic guard (W1)
-
-        keep = (
-            # unmatched target rows, or stale/duplicate source change
-            (~has_c | ~wins)
-            # winning source change that is not a delete
-            | (wins & (F.col("c.op") != "D"))
-        )
-        drop_delete = wins & (F.col("c.op") == "D")
+        is_del = F.col("c.op") == "D"
 
         out_cols = []
         for k in key_cols:
             out_cols.append(F.coalesce(F.col(f"t.{k}"), F.col(f"c.{k}")).alias(k))
         chg_cols = set(chg.columns)
+        t_deleted = F.coalesce(F.col(f"t.{DELETED_COL}"), F.lit(False))
         for v in value_cols:
             # a batch written before a column evolved in simply lacks it
             src = F.col(f"c.{v}") if v in chg_cols else F.lit(None)
             tgt = F.col(f"t.{v}")
             if v in coalesce_cols:
-                new_val = F.coalesce(src, tgt)  # TOAST: unchanged keeps target
+                # TOAST 'u': unchanged keeps target — but never coalesce
+                # out of a tombstone (its values are semantically absent)
+                new_val = F.coalesce(src, F.when(~t_deleted, tgt))
             else:
                 new_val = src
-            out_cols.append(F.when(wins, new_val).otherwise(tgt).alias(v))
+            out_cols.append(
+                F.when(wins & is_del, F.lit(None))
+                .when(wins, new_val)
+                .otherwise(tgt)
+                .alias(v)
+            )
         out_cols.append(F.when(wins, c_lsn).otherwise(t_lsn).alias(LSN_COL))
+        out_cols.append(
+            F.when(wins, is_del).otherwise(t_deleted).alias(DELETED_COL)
+        )
         out_cols.append(
             F.coalesce(F.col(f"t.{BUCKET_COL}"), F.col(f"c.{BUCKET_COL}")).alias(
                 BUCKET_COL
             )
         )
 
-        result = joined.filter(keep & ~drop_delete).select(*out_cols)
+        result = joined.select(*out_cols)
 
         new_version = self.manifest["version"] + 1
         rel_dir = f"data/v{new_version}"
@@ -285,6 +313,8 @@ class LakeTable:
         self.manifest["buckets"] = buckets
         props = self.manifest["properties"]
         props["last_applied_lsn"] = max(self.last_applied_lsn, high_lsn)
+        if eff_trunc >= 0:
+            props["truncate_lsn"] = eff_trunc
         cb = dict(props.get("committed_batches", {}))
         cb[batch_key] = high_lsn
         props["committed_batches"] = cb

@@ -65,10 +65,12 @@ def replay_batch(
 ) -> dict:
     """Apply one micro-batch of trace rows to the lake table.
 
-    Exactly-once: (1) replayed epochs no-op on batch_key; (2) the global
-    LSN guard skips rows at or below the table's high-watermark
-    (listener.go:426 ``if WalStart > readLSN()``); (3) the merge's
-    per-key lsn-monotonic guard absorbs any residual overlap.
+    Exactly-once: (1) replayed epochs no-op on batch_key (the reference's
+    LSN-ack analog, listener.go:426); (2) the merge's per-key
+    lsn-monotonic guard (tombstoned deletes, truncate watermark) absorbs
+    overlapping or out-of-order LSN ranges — micro-batches may arrive in
+    any order (file listing makes no ordering promise) and the state
+    still converges to the sequential result.
     """
     # P4: fold Relation rows into the registry; evolve the lake schema
     registry = RelationRegistry.from_json(table.properties.get("registry"))
@@ -76,15 +78,16 @@ def replay_batch(
     if not registry.relations:
         return {"batch_key": batch_key, "noop": True, "reason": "no_relations"}
 
-    # W1: global LSN guard (cheap file-level pruning via parquet stats)
-    guarded = trace.filter(F.col("lsn") > F.lit(table.last_applied_lsn))
-    high_row = guarded.agg(F.max("lsn").alias("h")).collect()[0]
+    high_row = trace.agg(F.max("lsn").alias("h")).collect()[0]
     if high_row["h"] is None:
-        return {"batch_key": batch_key, "noop": True, "reason": "no_new_lsns"}
+        # registry-only batch: persist what we learned, no data to merge
+        table.properties["registry"] = registry.to_json()
+        table.save_properties()
+        return {"batch_key": batch_key, "noop": True, "reason": "no_rows"}
     high_lsn = high_row["h"]
 
     # P1/P2/T5: transaction assembly (commit stamping + quarantine)
-    committed, quarantined = assemble_transactions(guarded)
+    committed, quarantined = assemble_transactions(trace)
     n_quarantined = quarantined.count() if cfg.quarantine_uncommitted else 0
 
     committed = stamp_table_names(committed, registry)
@@ -117,6 +120,9 @@ def replay_batch(
             registry_json=registry.to_json(),
         )
         stats["tables"][schema.qualified_name] = mstats
+
+    if stats["tables"] and all(m.get("noop") for m in stats["tables"].values()):
+        stats["noop"] = True
 
     if obs is not None:
         try:
