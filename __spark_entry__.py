@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship CDC replay (full engine path: trace ->
+assembly -> registry -> filter -> LWW apply -> lake MERGE -> snapshot
+read) at sf0.001. ``queries()`` exposes one entry per implemented
+operator from SURVEY.md §2 plus the training-data ops; ``oracle_sql()``
+gives the DuckDB twin for each (ann_lsh_topk is approximate by design ->
+rows-only check).
 """
 
 from __future__ import annotations
@@ -13,26 +14,24 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from wal_listener_spark import queries as cdc_q
+from wal_listener_spark import queries_data as data_q
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return cdc_q.q_cdc_replay_final_state(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable] = {}
+    out.update(cdc_q.CDC_QUERIES)
+    out.update(data_q.DATA_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(cdc_q._oracle_cdc())
+    out.update(data_q.data_oracle_sql())
+    return out

@@ -1,0 +1,123 @@
+"""Deduplication ops: exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+Scale design notes (the part that matters at 100 TB):
+ - exact dedup is one hash-shuffle on the fingerprint — map-side partial
+   aggregation makes it bandwidth-bound, not memory-bound;
+ - MinHash+LSH avoids the quadratic pair explosion: signatures are
+   computed scan-side (array transforms, codegen'd, no shuffle), then one
+   shuffle on (band, bucket) groups candidates; only same-bucket pairs
+   are compared. Bucket width (bands x rows) tunes recall/cost;
+ - the self-join on buckets broadcasts nothing and AQE's skew-join
+   splitting handles a degenerate hot bucket;
+ - all hashing is md5-hex (engine-portable, oracle-checkable) — swap in
+   xxhash64 for production speed (same plan shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, tokens
+
+NUM_HASHES = 12
+BAND_ROWS = 2  # 6 bands x 2 rows
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group identical (normalized) content: (doc_id, canonical_id,
+    group_size). canonical = min id in the group."""
+    h = docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp")
+    return h.select(
+        F.col(id_col),
+        F.min(id_col).over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    )
+
+
+def shingles(text_col, k: int = 3):
+    """k-token shingles (word n-grams)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + off) for off in range(k)]
+            ),
+        ),
+    )
+
+
+def minhash_signature(sh_col, num_hashes: int = NUM_HASHES):
+    """num_hashes independent min-hashes: min over md5('{i}:'||shingle).
+    String min over hex == numeric min over the hash value."""
+    def _hash_i(i: int):
+        # 1-arg lambda required: PySpark reads 2-arg lambdas (even with
+        # defaults) as the (element, index) signature
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+    return F.array(
+        *[
+            F.array_min(F.transform(sh_col, _hash_i(i)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_buckets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, band, bucket) rows; same (band, bucket) => candidate pair."""
+    sig = minhash_signature(shingles(F.col(text_col)))
+    d = docs.select(F.col(id_col), sig.alias("sig")).filter(F.col("sig").isNotNull())
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(
+                        *[
+                            F.element_at(F.col("sig"), b * BAND_ROWS + r + 1)
+                            for r in range(BAND_ROWS)
+                        ]
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(NUM_HASHES // BAND_ROWS)
+        ]
+    )
+    return d.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+        F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing any LSH bucket."""
+    b = lsh_buckets(docs, id_col, text_col)
+    left = b.alias("l")
+    right = b.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .distinct()
+    )
+
+
+def jaccard_milli(text_a, text_b, k: int = 3):
+    """(10000 * |A∩B|) // |A∪B| over distinct k-shingles — integer-scaled
+    for engine-portable comparison."""
+    sa = F.array_distinct(shingles(text_a, k))
+    sb = F.array_distinct(shingles(text_b, k))
+    inter = F.size(F.array_intersect(sa, sb)).cast("bigint")
+    union = F.size(F.array_union(sa, sb)).cast("bigint")
+    return F.when(union > 0, F.floor(inter * 10000 / union)).otherwise(F.lit(0))

@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exactness baseline: broadcast the (small)
+query set against the corpus — one scan, no shuffle on the corpus side,
+dot products evaluated by codegen'd higher-order functions
+(zip_with + aggregate), all JVM-side.
+
+The scale path is LSH bucketing (random-hyperplane signs derived from
+md5 — deterministic, engine-portable): vectors shuffle once on their
+bucket signature, queries probe only their own bucket. At 100 TB this
+turns an O(N*Q) scan into O(N/2^bits * Q) per probe; recall is tuned
+with multiple hash tables (union of probes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a, b):
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the given query ids.
+
+    Output: (query_id, neighbor_id, rank, cos_milli) — cosine scaled to
+    int (x10000, floor) for portable comparison.
+    """
+    base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    joined = base.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("v")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.floor(F.col("cos") * 10000).cast("bigint").alias("cos_milli"),
+        )
+    )
+
+
+def hyperplane_bucket(vec_col, bits: int = 8):
+    """LSH bucket: sign pattern of the vector against ``bits``
+    deterministic pseudo-random hyperplanes. Plane p's weight for
+    dimension i = (md5('{p}:{i}') first 4 hex as int) - 32768 — fixed,
+    engine-independent, no RNG state."""
+    def plane_dot(p):
+        return F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.sequence(F.lit(0), F.size(vec_col) - 1),
+                lambda x, i: x.cast("double")
+                * (
+                    F.conv(
+                        F.substring(F.md5(F.concat(F.lit(f"{p}:"), i.cast("string"))), 1, 4),
+                        16,
+                        10,
+                    ).cast("double")
+                    - 32768.0
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = F.lit(0).cast("bigint")
+    for p in range(bits):
+        bucket = bucket + F.when(plane_dot(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the query's hyperplane bucket.
+    Same output shape as brute_force_topk (recall < 1 by design)."""
+    base = emb.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("v"),
+        hyperplane_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    joined = base.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col(id_col) != F.col("query_id")),
+    )
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("v")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.floor(F.col("cos") * 10000).cast("bigint").alias("cos_milli"),
+        )
+    )

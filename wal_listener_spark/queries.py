@@ -1,0 +1,384 @@
+"""Driver-facing queries + DuckDB oracle SQL.
+
+Every entry in ``QUERIES`` is one operator/capability from SURVEY.md §2
+(or a training-data-pipeline op), run by the driver at sf=0.01 and
+compared against ``ORACLE_SQL`` executed by DuckDB over the same parquet
+views — row count, schema and order-insensitive value hash must match.
+
+Both sides derive from the same deterministic spec
+(``trace/spec.py``): the Spark side *runs the actual engine operators*
+(trace generation -> assembly -> registry -> filter -> LWW apply ->
+lake MERGE); the oracle side evaluates the closed-form of that spec in
+ANSI SQL. Shared constants keep them in lock-step.
+
+Portability rules used throughout (Spark <-> DuckDB):
+ - hashes via md5/sha256 hex (identical across engines);
+ - float outputs scaled to ints (``round(x*10000)``) to dodge repr drift;
+ - timestamps compared as unix epoch seconds;
+ - int-in-string concat produces identical text on both engines.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import PipelineConfig
+from .lake.table import LakeTable
+from .operators import apply as apply_op
+from .operators import decode as decode_op
+from .operators import events as events_op
+from .operators.assemble import assemble_transactions
+from .operators.filters import allowlist_filter
+from .operators.registry import RelationRegistry, typed_changes
+from .trace import framed, generator, spec
+
+AMPLIFY = 2  # CDC key-space amplification for driver queries
+FIELDS = [
+    ("repo", "string"),
+    ("path", "string"),
+    ("commit", "string"),
+    ("lang", "string"),
+    ("content", "string"),
+]
+
+# --------------------------------------------------------------------------
+# shared oracle SQL fragments (DuckDB dialect, derived from trace/spec.py)
+# --------------------------------------------------------------------------
+
+
+def _keys_cte(amplify: int = AMPLIFY) -> str:
+    """CTE computing the key attributes exactly as generator._keys_df."""
+    return f"""
+keys AS (
+  SELECT d.doc_id*{amplify} + r.range AS k, d.text, d.lang,
+         (SELECT count(*)*{amplify} FROM documents)//2 AS k_evo
+  FROM documents d, range({amplify}) r
+),
+attrs AS (
+  SELECT k, text, lang, k_evo,
+    CASE WHEN k%{spec.HOT_MOD}=0 THEN '{spec.HOT_REPO}'
+         ELSE 'org'||(k%{spec.REPO_MOD})||'/proj'||(k%{spec.PROJ_MOD}) END AS repo,
+    'src/m'||(k//100)||'/f'||k||'.'||lang AS path,
+    1 + k%{spec.NVER_MOD} AS n_ver
+  FROM keys
+)"""
+
+
+def _final_cte() -> str:
+    """Closed-form of last-write-wins with TOAST carry-forward:
+    content version = largest v <= v_last that was not TOASTed."""
+    t = spec.TOAST_MOD
+    return f"""
+final AS (
+  SELECT *, n_ver-1 AS v_last,
+    CASE
+      WHEN n_ver-1 = 0 THEN 0
+      WHEN (k+(n_ver-1))%{t} <> 0 THEN n_ver-1
+      WHEN n_ver-2 = 0 THEN 0
+      WHEN (k+(n_ver-2))%{t} <> 0 THEN n_ver-2
+      ELSE 0 END AS v_content
+  FROM attrs
+)"""
+
+
+def _final_select(where: str) -> str:
+    return f"""
+SELECT repo, path,
+  substr(sha256(k||':'||v_last), 1, 40) AS commit,
+  lang,
+  text||'#v'||v_content AS content,
+  (CASE WHEN k >= k_evo THEN k%{spec.STARS_MOD} END)::INT AS stars,
+  sha256(text||'#v'||v_content) AS content_sha
+FROM final WHERE {where}"""
+
+
+def oracle_final_state(amplify: int = AMPLIFY, extra_where: str = "TRUE") -> str:
+    return (
+        "WITH "
+        + _keys_cte(amplify)
+        + ","
+        + _final_cte()
+        + _final_select(f"k%{spec.DELETE_MOD} <> 0 AND ({extra_where})")
+    )
+
+
+# --------------------------------------------------------------------------
+# Spark-side helpers
+# --------------------------------------------------------------------------
+
+
+def _final_state_df(spark: SparkSession, sf_dir: str, **trace_kw) -> DataFrame:
+    """Run the actual operator pipeline (no lake) on a fresh trace and
+    return the final state with the sha invariant column."""
+    trace = generator.build_trace(spark, sf_dir, amplify=AMPLIFY, **trace_kw)
+    return _apply_pipeline(trace)
+
+
+def _apply_pipeline(
+    trace: DataFrame, filter_tables: dict | None = None
+) -> DataFrame:
+    registry = RelationRegistry().update_from_trace(trace)
+    committed, _q = assemble_transactions(trace)
+    schema = registry.relations[spec.REL_ID]
+    from .pipeline import stamp_table_names
+
+    committed = stamp_table_names(committed, registry)
+    filtered, _obs = allowlist_filter(committed, filter_tables, observe=False)
+    typed = typed_changes(filtered, schema)
+    final = apply_op.final_state(
+        typed, schema.key_columns, schema.value_columns, schema.value_columns
+    )
+    return final.select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        F.col("stars").cast("int").alias("stars"),
+        F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("content_sha"),
+    )
+
+
+def _replay_through_lake(spark: SparkSession, sf_dir: str, **trace_kw) -> DataFrame:
+    """Full-engine path: trace -> replay_batch -> lake MERGE -> snapshot."""
+    from .pipeline import replay_batch
+
+    trace = generator.build_trace(spark, sf_dir, amplify=AMPLIFY, **trace_kw)
+    root = tempfile.mkdtemp(prefix="wal_lake_")
+    table = LakeTable.create(spark, root, ["repo", "path"], FIELDS, num_buckets=16)
+    replay_batch(trace, table, PipelineConfig(num_buckets=16), "driver-batch")
+    table = LakeTable.load(spark, root)
+    return table.read_public().select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        F.col("stars").cast("int").alias("stars"),
+        F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("content_sha"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC queries
+# --------------------------------------------------------------------------
+
+
+def q_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full replay through the lake MERGE (S6+P*+T*+K+W ops)."""
+    return _replay_through_lake(spark, sf_dir)
+
+
+def q_cdc_lww_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-level apply (window LWW + TOAST carry-forward), no sink."""
+    return _final_state_df(spark, sf_dir)
+
+
+def q_cdc_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_keys = generator.num_keys(spark, sf_dir, AMPLIFY)
+    return _final_state_df(spark, sf_dir, k_tr=n_keys // 4)
+
+
+def q_cdc_filter_allowlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trace = generator.build_trace(spark, sf_dir, amplify=AMPLIFY)
+    return _apply_pipeline(
+        trace, filter_tables={"repos": ["insert", "update", "truncate"]}
+    )
+
+
+def q_cdc_replay_overlap_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate half the LSN range (replay overlap) — LWW must absorb it."""
+    trace = generator.build_trace(spark, sf_dir, amplify=AMPLIFY)
+    dup = trace.filter(F.col("tx_id") % 2 == 0)
+    return _apply_pipeline(trace.unionByName(dup))
+
+
+def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    final = _final_state_df(spark, sf_dir)
+    return (
+        final.withColumn("has_stars", F.col("stars").isNotNull())
+        .groupBy("has_stars")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_cdc_tx_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trace = generator.build_trace(spark, sf_dir, amplify=AMPLIFY)
+    committed, _ = assemble_transactions(trace)
+    return committed.groupBy("tx_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_timestamp(F.max("commit_ts")).alias("commit_epoch"),
+    )
+
+
+def q_cdc_event_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trace = generator.build_trace(spark, sf_dir, amplify=AMPLIFY)
+    committed, _ = assemble_transactions(trace)
+    ev = events_op.to_events(committed, spec.SCHEMA_NAME, spec.TABLE_NAME)
+    return ev.select("id", "action", "lsn")
+
+
+def q_cdc_subject_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trace = generator.build_trace(spark, sf_dir, amplify=AMPLIFY)
+    committed, _ = assemble_transactions(trace)
+    ev = events_op.to_events(
+        committed,
+        spec.SCHEMA_NAME,
+        spec.TABLE_NAME,
+        topic="STREAM",
+        topic_prefix="prefix_",
+        topics_map={"public_repos": "code_repos"},
+    )
+    return ev.groupBy("subject").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_cdc_quarantine_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop commits for tx_id % 13 == 0 -> those txs quarantine
+    (ErrMessageLost analog, parser.go:20-23)."""
+    trace = generator.build_trace(spark, sf_dir, amplify=AMPLIFY)
+    broken = trace.filter(~((F.col("op") == "C") & (F.col("tx_id") % 13 == 0)))
+    committed, quarantined = assemble_transactions(broken)
+    return (
+        committed.select(F.lit("committed").alias("kind"))
+        .unionByName(quarantined.select(F.lit("quarantined").alias("kind")))
+        .groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_cdc_decode_framed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed binary roundtrip: encode -> vectorized decode -> op census."""
+    trace = generator.build_trace(spark, sf_dir, amplify=AMPLIFY)
+    frames = framed.frames_from_columnar(trace)
+    decoded = decode_op.decode_frames(frames)
+    return decoded.groupBy("op").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_cdc_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OID cast matrix applied to deterministic text cells (T2)."""
+    from .functions import casts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("t")).otherwise(F.lit("f")).alias("b"),
+        F.col("n_chars").cast("string").alias("i"),
+        (F.col("doc_id") * 1000000007).cast("string").alias("l"),
+        F.lit("2022-08-27 17:44:58+02").alias("tz"),
+        F.upper(F.md5(F.col("text"))).alias("u"),
+    )
+    return d.select(
+        "doc_id",
+        casts.cast_text_value(F.col("b"), casts.BOOL_OID).alias("as_bool"),
+        casts.cast_text_value(F.col("i"), casts.INT4_OID).alias("as_int"),
+        casts.cast_text_value(F.col("l"), casts.INT8_OID).alias("as_long"),
+        F.unix_timestamp(
+            casts.cast_text_value(F.col("tz"), casts.TIMESTAMPTZ_OID)
+        ).alias("tz_epoch"),
+        casts.cast_text_value(F.col("u"), casts.UUID_OID).alias("as_uuid"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC oracle SQL
+# --------------------------------------------------------------------------
+
+
+def _oracle_cdc() -> dict[str, str]:
+    A = AMPLIFY
+    d = spec.DELETE_MOD
+    base = {
+        "cdc_replay_final_state": oracle_final_state(),
+        "cdc_lww_compaction": oracle_final_state(),
+        "cdc_replay_overlap_dedup": oracle_final_state(),
+        # truncate barrier just before key k_tr wipes exactly keys < k_tr
+        "cdc_truncate": (
+            "WITH " + _keys_cte() + "," + _final_cte()
+            + _final_select(
+                f"k%{d} <> 0 AND k >= (SELECT count(*)*{A} FROM documents)//4"
+            )
+        ),
+        # deletes filtered out -> deleted keys keep their last content
+        "cdc_filter_allowlist": (
+            "WITH " + _keys_cte() + "," + _final_cte() + _final_select("TRUE")
+        ),
+        "cdc_schema_evolution": f"""
+WITH {_keys_cte()}
+SELECT (k >= k_evo) AS has_stars, count(*) AS n
+FROM attrs WHERE k%{d} <> 0 GROUP BY 1""",
+        "cdc_tx_assembly": f"""
+WITH {_keys_cte()}
+SELECT k AS tx_id,
+       (n_ver + CASE WHEN k%{d}=0 THEN 1 ELSE 0 END)::BIGINT AS n_events,
+       epoch(TIMESTAMP '{spec.EPOCH}' + k * INTERVAL 1 second)::BIGINT AS commit_epoch
+FROM attrs""",
+        "cdc_event_projection": f"""
+WITH {_keys_cte()},
+rows_ AS (
+  SELECT (k+1)*{spec.SLOT} + 1 + r.range AS lsn, r.range AS seq,
+         CASE WHEN r.range = 0 THEN 'INSERT' ELSE 'UPDATE' END AS action
+  FROM attrs, range({spec.NVER_MOD}) r WHERE r.range < n_ver
+  UNION ALL
+  SELECT (k+1)*{spec.SLOT} + 5 AS lsn, n_ver AS seq, 'DELETE' AS action
+  FROM attrs WHERE k%{d} = 0
+),
+h AS (SELECT *, sha256(lsn||':'||seq) AS hh FROM rows_)
+SELECT substr(hh,1,8)||'-'||substr(hh,9,4)||'-'||substr(hh,13,4)||'-'||
+       substr(hh,17,4)||'-'||substr(hh,21,12) AS id, action, lsn
+FROM h""",
+        "cdc_subject_routing": f"""
+WITH {_keys_cte()}
+SELECT 'STREAM.prefix_code_repos' AS subject,
+       (sum(n_ver) + count(*) FILTER (WHERE k%{d}=0))::BIGINT AS n
+FROM attrs""",
+        "cdc_quarantine_integrity": f"""
+WITH {_keys_cte()},
+c AS (SELECT k, n_ver + CASE WHEN k%{d}=0 THEN 1 ELSE 0 END AS n FROM attrs)
+SELECT 'committed' AS kind, sum(n)::BIGINT AS n FROM c WHERE k%13 <> 0
+UNION ALL
+SELECT 'quarantined' AS kind, sum(n)::BIGINT AS n FROM c WHERE k%13 = 0""",
+        "cdc_decode_framed": f"""
+WITH {_keys_cte()},
+agg AS (SELECT count(*) AS nk, sum(n_ver)::BIGINT AS nv,
+               count(*) FILTER (WHERE k%{d}=0) AS nd
+        FROM attrs)
+SELECT op, n FROM (
+  SELECT 'B' AS op, nk::BIGINT AS n FROM agg
+  UNION ALL SELECT 'C', nk::BIGINT FROM agg
+  UNION ALL SELECT 'I', nk::BIGINT FROM agg
+  UNION ALL SELECT 'U', (nv - nk)::BIGINT FROM agg
+  UNION ALL SELECT 'D', nd::BIGINT FROM agg
+  UNION ALL SELECT 'R', 2::BIGINT
+  UNION ALL SELECT 'O', 1::BIGINT
+  UNION ALL SELECT 'Y', 1::BIGINT
+) t""",
+        "cdc_cast_matrix": """
+SELECT doc_id,
+  CAST(CASE WHEN doc_id%2=0 THEN 't' ELSE 'f' END AS BOOLEAN) AS as_bool,
+  n_chars::INT AS as_int,
+  (doc_id * 1000000007)::BIGINT AS as_long,
+  epoch(CAST('2022-08-27 17:44:58+02' AS TIMESTAMPTZ))::BIGINT AS tz_epoch,
+  lower(upper(md5(text))) AS as_uuid
+FROM documents""",
+    }
+    return base
+
+
+CDC_QUERIES = {
+    "cdc_replay_final_state": q_cdc_replay_final_state,
+    "cdc_lww_compaction": q_cdc_lww_compaction,
+    "cdc_truncate": q_cdc_truncate,
+    "cdc_filter_allowlist": q_cdc_filter_allowlist,
+    "cdc_replay_overlap_dedup": q_cdc_replay_overlap_dedup,
+    "cdc_schema_evolution": q_cdc_schema_evolution,
+    "cdc_tx_assembly": q_cdc_tx_assembly,
+    "cdc_event_projection": q_cdc_event_projection,
+    "cdc_subject_routing": q_cdc_subject_routing,
+    "cdc_quarantine_integrity": q_cdc_quarantine_integrity,
+    "cdc_decode_framed": q_cdc_decode_framed,
+    "cdc_cast_matrix": q_cdc_cast_matrix,
+}

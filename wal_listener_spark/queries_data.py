@@ -1,0 +1,283 @@
+"""Training-data pipeline queries + DuckDB oracles (dedup, similarity,
+text analysis, multimodal plumbing) over the driver's ``documents`` and
+``embeddings`` tables.
+
+Duplicate-bearing corpora are synthesized deterministically in BOTH
+engines (exact copies at doc_id+100000 for doc_id%4==0; near-copies with
+a 3-token tail at doc_id+200000 for doc_id%3==0) so dedup ops have real
+positives to find.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import dedup, multimodal, similarity, text as textfn
+
+NEAR_TAIL = " zz extra pad"
+ANN_QUERY_IDS = list(range(8))
+ANN_K = 5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _corpus_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.col("text")
+    )
+    return d.unionByName(copies)
+
+
+def _corpus_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(NEAR_TAIL)).alias("text"),
+    )
+    return d.unionByName(copies)
+
+
+# ------------------------------------------------------------------ queries
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_corpus_exact(spark, sf_dir))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_candidate_pairs(_corpus_near(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Jaccard over 3-shingles for the deterministic near-pair set."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    orig = d.filter(F.col("doc_id") % 3 == 0)
+    pairs = orig.select(
+        F.col("doc_id").alias("a"),
+        (F.col("doc_id") + 200000).alias("b"),
+        F.col("text").alias("text_a"),
+        F.concat(F.col("text"), F.lit(NEAR_TAIL)).alias("text_b"),
+    )
+    return pairs.select(
+        "a",
+        "b",
+        dedup.jaccard_milli(F.col("text_a"), F.col("text_b")).alias("jaccard_m"),
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", textfn.simhash16(F.col("text")).alias("simhash"))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    return similarity.brute_force_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate variant (scale path) — rows-only check."""
+    return similarity.lsh_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
+
+
+def q_text_token_count(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        textfn.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_len"),
+    )
+
+
+def q_text_lang_id(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        textfn.lang_id(F.col("text")).alias("lang_id"),
+        textfn.stopword_hits(F.col("text")).alias("stop_hits"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", textfn.quality_score_milli(F.col("text")).alias("quality_m")
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", textfn.fingerprint(F.col("text")).alias("fp"))
+
+
+def q_mm_decode_meta(spark, sf_dir):
+    with_payload = multimodal.attach_payload(_docs(spark, sf_dir))
+    return multimodal.extract_metadata(with_payload)
+
+
+DATA_QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "text_token_count": q_text_token_count,
+    "text_lang_id": q_text_lang_id,
+    "text_quality": q_text_quality,
+    "text_fingerprint": q_text_fingerprint,
+    "mm_decode_meta": q_mm_decode_meta,
+}
+
+# ------------------------------------------------------------------ oracles
+
+_CORPUS_EXACT = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id+100000, text FROM documents WHERE doc_id%4=0
+)"""
+
+_CORPUS_NEAR = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id+200000, text || '{NEAR_TAIL}' FROM documents WHERE doc_id%3=0
+)"""
+
+_FP = "sha256(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))"
+
+_TOK = r"string_split_regex(trim(text), '\s+')"
+
+_SHINGLES = (
+    "list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2])"
+)
+
+
+def _sig_sql(num_hashes: int = dedup.NUM_HASHES) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(s, x -> md5('{i}:'||x)))" for i in range(num_hashes)
+    )
+    return f"[{mins}]"
+
+
+def _simhash_sql() -> str:
+    high = "('8','9','a','b','c','d','e','f')"
+    terms = " + ".join(
+        f"(CASE WHEN 2*len(list_filter(t, x -> substr(md5(x), {j+1}, 1) IN {high})) > len(t) THEN {1 << j} ELSE 0 END)"
+        for j in range(16)
+    )
+    return terms
+
+
+_STOPLIST = ", ".join(f"'{s}'" for s in textfn.STOPWORDS)
+
+
+def data_oracle_sql() -> dict[str, str]:
+    n_bands = dedup.NUM_HASHES // dedup.BAND_ROWS
+    return {
+        "dedup_exact": f"""
+WITH {_CORPUS_EXACT},
+h AS (SELECT doc_id, {_FP} AS fp FROM corpus)
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+       count(*) OVER (PARTITION BY fp) AS group_size
+FROM h""",
+        "dedup_minhash_lsh": f"""
+WITH {_CORPUS_NEAR},
+tok AS (SELECT doc_id, {_TOK} AS t FROM corpus),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM tok WHERE len(t) >= 3),
+sig AS (SELECT doc_id, {_sig_sql()} AS sig FROM sh),
+bk AS (
+  SELECT doc_id, b.range AS band,
+         md5(sig[2*b.range+1] || sig[2*b.range+2]) AS bucket
+  FROM sig, range({n_bands}) b
+)
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM bk l JOIN bk r
+  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""",
+        "dedup_ngram_jaccard": f"""
+WITH pairs AS (
+  SELECT doc_id AS a, doc_id+200000 AS b, text AS text_a,
+         text || '{NEAR_TAIL}' AS text_b
+  FROM documents WHERE doc_id%3=0
+),
+sh AS (
+  SELECT a, b,
+    list_distinct((SELECT {_SHINGLES} FROM (SELECT {_TOK.replace('text', 'text_a')} AS t))) AS sa,
+    list_distinct((SELECT {_SHINGLES} FROM (SELECT {_TOK.replace('text', 'text_b')} AS t))) AS sb
+  FROM pairs
+),
+j AS (
+  SELECT a, b,
+    len(list_filter(sa, x -> list_contains(sb, x))) AS inter,
+    len(sa) + len(sb) - len(list_filter(sa, x -> list_contains(sb, x))) AS un
+  FROM sh
+)
+SELECT a, b, CASE WHEN un > 0 THEN (10000*inter)//un ELSE 0 END AS jaccard_m
+FROM j""",
+        "dedup_simhash": f"""
+WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents)
+SELECT doc_id, ({_simhash_sql()})::BIGINT AS simhash FROM tok""",
+        "ann_cosine_topk": f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM base
+      WHERE vec_id IN ({", ".join(map(str, ANN_QUERY_IDS))})),
+s AS (
+  SELECT query_id, b.vec_id AS neighbor_id,
+         list_dot_product(qv, v) /
+         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+  FROM q, base b WHERE b.vec_id <> query_id
+)
+SELECT query_id, neighbor_id,
+       (row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id))::INT AS rank,
+       floor(cos*10000)::BIGINT AS cos_milli
+FROM s
+QUALIFY rank <= {ANN_K}""",
+        "text_token_count": f"""
+SELECT doc_id, len({_TOK})::BIGINT AS n_tokens,
+       length(text)::BIGINT AS n_chars_len
+FROM documents""",
+        "text_lang_id": f"""
+WITH tok AS (
+  SELECT doc_id, {_TOK} AS t FROM documents
+), m AS (
+  SELECT doc_id, len(t) AS n,
+         len(list_filter(t, w -> lower(w) IN ({_STOPLIST}))) AS hits
+  FROM tok
+)
+SELECT doc_id,
+  CASE WHEN n < 5 THEN 'short'
+       WHEN hits*1000 >= n*30 THEN 'en'
+       ELSE 'unknown' END AS lang_id,
+  hits::BIGINT AS stop_hits
+FROM m""",
+        "text_quality": f"""
+WITH tok AS (
+  SELECT doc_id, text, {_TOK} AS t FROM documents
+), m AS (
+  SELECT doc_id, len(t) AS n,
+    len(list_filter(t, w -> lower(w) IN ({_STOPLIST}))) AS hits,
+    length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
+    length(text) AS nc
+  FROM tok
+)
+SELECT doc_id,
+  ((hits*1000)//n + least(n, 200) - (punct*1000)//nc)::BIGINT AS quality_m
+FROM m""",
+        "text_fingerprint": f"""
+SELECT doc_id, {_FP} AS fp FROM documents""",
+        "mm_decode_meta": """
+SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+       sha256(text) AS payload_sha, 'text' AS modality
+FROM documents""",
+        # ann_lsh_topk intentionally has no oracle: approximate op,
+        # driver records the weaker rows-only check
+    }
