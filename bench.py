@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""Benchmark harness: CDC replay throughput + scaling evidence.
+
+Prints ONE JSON line:
+  {"metric": "cdc_replay_wall_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": <dir>,
+   "events": N, "throughput_eps": ..., "scaling": {...}}
+
+Primary measurement (BASELINE.md): change-events/sec during full replay
+of the synthesized WAL trace into the lake table, at two parallelism
+levels — local[8] vs local[$SPARK_GRAFT_CPUS] on the SAME input — as the
+sandbox proxy for the N->4N-executor scaling-efficiency rule
+(efficiency = (thr_hi / thr_lo) / (cpus_hi / cpus_lo)). Each replay runs
+in its own subprocess (cold JVM) so JIT warm-up can't tilt the
+comparison.
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), BENCH_AMPLIFY (default 200),
+BENCH_SKIP_SCALING=1 to skip the low-parallelism run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+LOW_CPUS = int(os.environ.get("BENCH_LOW_CPUS", "8"))
+AMPLIFY = int(os.environ.get("BENCH_AMPLIFY", "200"))
+DECODE_AMPLIFY = max(AMPLIFY // 10, 1)
+
+FIELDS = [
+    ("repo", "string"), ("path", "string"), ("commit", "string"),
+    ("lang", "string"), ("content", "string"),
+]
+
+
+def _mk_spark(cpus: int, name: str):
+    from wal_listener_spark.session import get_spark
+
+    os.makedirs("/dev/shm/walbench_spark", exist_ok=True)
+    return get_spark(
+        f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+        app_name=name,
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # shuffle spill on tmpfs: the bench measures the engine, not
+            # the sandbox's shared disk
+            "spark.local.dir": "/dev/shm/walbench_spark",
+        },
+    )
+
+
+def replay_subcommand(trace_dir: str, cpus: int, buckets: int) -> None:
+    """Child process: one cold-JVM replay; prints {"sec":..,"events":..}."""
+    from pyspark.sql import functions as F
+
+    from wal_listener_spark.config import PipelineConfig
+    from wal_listener_spark.lake.table import LakeTable
+    from wal_listener_spark.pipeline import replay_batch
+    from wal_listener_spark.trace.generator import TRACE_SCHEMA
+
+    spark = _mk_spark(cpus, f"bench_replay_{cpus}")
+    work = tempfile.mkdtemp(prefix="walbench_lake_")
+    trace = spark.read.schema(TRACE_SCHEMA).parquet(trace_dir)
+    n_events = trace.filter(F.col("op").isin("I", "U", "D", "T")).count()
+
+    # JVM/codegen warmup: replay a small slice into a throwaway table so
+    # the timed run measures steady-state throughput, not JIT compilation
+    # (cold 32-thread runs measured ~2x slower purely from warmup)
+    warm = LakeTable.create(
+        spark, os.path.join(work, "warm"), ["repo", "path"], FIELDS, num_buckets=buckets
+    )
+    replay_batch(trace.limit(50000), warm, PipelineConfig(num_buckets=buckets), "warm")
+
+    # median-of-3: the sandbox host is shared (load-average bursts from
+    # other tenants); repeated runs separate our cost from the noise
+    secs = []
+    for rep in range(3):
+        table = LakeTable.create(
+            spark, os.path.join(work, f"lake{rep}"), ["repo", "path"], FIELDS,
+            num_buckets=buckets,
+        )
+        t0 = time.time()
+        replay_batch(trace, table, PipelineConfig(num_buckets=buckets), "bench")
+        secs.append(round(time.time() - t0, 3))
+    spark.stop()
+    shutil.rmtree(work, ignore_errors=True)
+    secs.sort()
+    print(json.dumps({
+        "sec": secs[1], "sec_min": secs[0], "runs": secs, "events": n_events,
+        "loadavg": open("/proc/loadavg").read().split()[0],
+    }))
+
+
+def _run_replay(trace_dir: str, cpus: int, buckets: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--replay", trace_dir,
+         str(cpus), str(buckets)],
+        capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    work = tempfile.mkdtemp(prefix="walbench_")
+    queries: dict[str, float] = {}
+    out: dict = {"metric": "cdc_replay_wall_sec", "unit": "sec", "sf": SF_DIR}
+    buckets = max(CPUS, 16)
+
+    spark = _mk_spark(CPUS, "bench_main")
+    from wal_listener_spark.operators import decode as decode_op
+    from wal_listener_spark.streaming.job import write_tx_aligned
+    from wal_listener_spark.trace import framed, generator
+
+    # ---- setup: synthesize + persist the trace (timed separately) -----
+    t0 = time.time()
+    trace = generator.build_trace(spark, SF_DIR, amplify=AMPLIFY)
+    trace_dir = os.path.join(work, "trace")
+    write_tx_aligned(trace, trace_dir, num_files=max(CPUS * 2, 16))
+    queries["trace_gen_write"] = round(time.time() - t0, 3)
+
+    # ---- operator micro-benches ----------------------------------------
+    t0 = time.time()
+    from wal_listener_spark.queries import _apply_pipeline
+
+    _apply_pipeline(spark.read.parquet(trace_dir)).write.mode("overwrite").parquet(
+        os.path.join(work, "lww_out")
+    )
+    queries["lww_compaction"] = round(time.time() - t0, 3)
+
+    # framed decode: encode is fixture generation (timed separately);
+    # the decode timing covers only the vectorized decoder itself
+    small = generator.build_trace(spark, SF_DIR, amplify=DECODE_AMPLIFY)
+    t0 = time.time()
+    frames_dir = os.path.join(work, "frames")
+    framed.frames_from_columnar(small).write.mode("overwrite").parquet(frames_dir)
+    queries["framed_encode_write"] = round(time.time() - t0, 3)
+    frames = spark.read.parquet(frames_dir)
+    t0 = time.time()
+    n_frames = decode_op.decode_frames(frames).count()
+    queries["framed_decode"] = round(time.time() - t0, 3)
+    out["framed_decode_fps"] = round(n_frames / queries["framed_decode"], 1)
+
+    t0 = time.time()
+    from wal_listener_spark.queries_data import q_ann_cosine_topk, q_dedup_minhash_lsh
+
+    q_dedup_minhash_lsh(spark, SF_DIR).count()
+    queries["dedup_minhash_lsh"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    q_ann_cosine_topk(spark, SF_DIR).count()
+    queries["ann_cosine_topk"] = round(time.time() - t0, 3)
+    spark.stop()
+
+    # ---- headline replays: isolated cold-JVM subprocesses --------------
+    hi = _run_replay(trace_dir, CPUS, buckets)
+    queries[f"replay_local{CPUS}"] = hi["sec"]
+    out["events"] = hi["events"]
+    out["value"] = hi["sec"]
+    out["throughput_eps"] = round(hi["events"] / hi["sec"], 1)
+    out["replay_runs"] = {f"local{CPUS}": hi["runs"], f"loadavg{CPUS}": hi["loadavg"]}
+
+    if not os.environ.get("BENCH_SKIP_SCALING"):
+        lo = _run_replay(trace_dir, LOW_CPUS, buckets)
+        queries[f"replay_local{LOW_CPUS}"] = lo["sec"]
+        out["replay_runs"][f"local{LOW_CPUS}"] = lo["runs"]
+        out["replay_runs"][f"loadavg{LOW_CPUS}"] = lo["loadavg"]
+        thr_hi = hi["events"] / hi["sec"]
+        thr_lo = lo["events"] / lo["sec"]
+        # min-of-runs pair = least interference from co-tenant load bursts
+        thr_hi_min = hi["events"] / hi["sec_min"]
+        thr_lo_min = lo["events"] / lo["sec_min"]
+        out["scaling"] = {
+            "cpus_lo": LOW_CPUS,
+            "cpus_hi": CPUS,
+            "throughput_lo_eps": round(thr_lo, 1),
+            "throughput_hi_eps": round(thr_hi, 1),
+            "speedup": round(thr_hi / thr_lo, 3),
+            "efficiency": round((thr_hi / thr_lo) / (CPUS / LOW_CPUS), 3),
+            "efficiency_min_runs": round(
+                (thr_hi_min / thr_lo_min) / (CPUS / LOW_CPUS), 3
+            ),
+        }
+
+    out["queries"] = queries
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--replay":
+        replay_subcommand(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+    else:
+        sys.exit(main())

@@ -70,9 +70,23 @@ def minhash_signature(sh_col, num_hashes: int = NUM_HASHES):
 
 
 def lsh_buckets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, band, bucket) rows; same (band, bucket) => candidate pair."""
-    sig = minhash_signature(shingles(F.col(text_col)))
-    d = docs.select(F.col(id_col), sig.alias("sig")).filter(F.col("sig").isNotNull())
+    """(id, band, bucket) rows; same (band, bucket) => candidate pair.
+
+    The shingle array and the signature are materialized (persist) before
+    fan-out: without the barrier, Catalyst's projection collapse inlines
+    the shingle expression into all 12 hash transforms and then the 12
+    signatures into all 6 band buckets — a 72x expression blow-up that
+    dominated the first benchmark run.
+    """
+    sh = (
+        docs.select(F.col(id_col), shingles(F.col(text_col)).alias("sh"))
+        .filter(F.col("sh").isNotNull())
+        .persist()  # barrier: shingles computed once, not 12x
+    )
+    d = (
+        sh.select(F.col(id_col), minhash_signature(F.col("sh")).alias("sig"))
+        .persist()  # barrier: signatures computed once, not once per band
+    )
     bands = F.array(
         *[
             F.struct(

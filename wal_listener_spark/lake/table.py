@@ -208,10 +208,23 @@ class LakeTable:
         eff_trunc = max(prev_trunc, truncate_lsn if truncate_lsn is not None else -1)
 
         chg = changes
+        prebucketed = BUCKET_COL in chg.columns
         if eff_trunc >= 0:
             chg = chg.filter((F.col("lsn") > F.lit(eff_trunc)) | (F.col("op") == "D"))
-        chg = chg.withColumn(BUCKET_COL, _bucket_expr(key_cols, self.num_buckets))
-        affected = [r[BUCKET_COL] for r in chg.select(BUCKET_COL).distinct().collect()]
+        if not prebucketed:
+            chg = chg.withColumn(BUCKET_COL, _bucket_expr(key_cols, self.num_buckets))
+        # one materialization of the (expensive) upstream pipeline, reused
+        # by the stats pass and the merge join/write (the cache preserves
+        # the bucket partitioning for the join below)
+        chg = chg.persist()
+        stats_row = chg.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("nd"),
+            F.collect_set(BUCKET_COL).alias("bks"),
+        ).collect()[0]
+        n_changes = stats_row["n"]
+        n_deletes = stats_row["nd"] or 0
+        affected = list(stats_row["bks"])
         if truncate_lsn is not None:
             affected = list(range(self.num_buckets))
 
@@ -220,10 +233,21 @@ class LakeTable:
         )
         if truncate_lsn is not None:
             target = target.filter(F.col(LSN_COL) > F.lit(truncate_lsn))
+        if prebucketed:
+            # align the target to the change side's bucket partitioning;
+            # the join below then needs NO exchange on the change side and
+            # its output is already laid out for the partitioned write
+            target = target.repartition(self.num_buckets, F.col(BUCKET_COL))
 
         t = target.alias("t")
         c = chg.alias("c")
-        cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"c.{k}")) for k in key_cols]
+        # plain equality (keys are non-null by construction). With
+        # prebucketed input the bucket column joins too: hash-partitioning
+        # on the bucket alone satisfies the clustered distribution of
+        # (bucket, keys), so both sides stay put (one-shuffle merge).
+        cond = [F.col(f"t.{k}") == F.col(f"c.{k}") for k in key_cols]
+        if prebucketed:
+            cond = [F.col(f"t.{BUCKET_COL}") == F.col(f"c.{BUCKET_COL}")] + cond
         joined = t.join(c, cond, "full_outer")
 
         c_lsn = F.col("c.lsn")
@@ -269,9 +293,13 @@ class LakeTable:
         new_version = self.manifest["version"] + 1
         rel_dir = f"data/v{new_version}"
         out_dir = os.path.join(self.root, rel_dir)
+        if not prebucketed:
+            # cluster rows by bucket for the partitioned write
+            result = result.repartition(max(len(affected), 1), F.col(BUCKET_COL))
+        # prebucketed: join output is already bucket-partitioned — the
+        # write's per-task dynamic partitioning needs no extra shuffle
         (
-            result.repartition(max(len(affected), 1), F.col(BUCKET_COL))
-            .write.partitionBy(BUCKET_COL)
+            result.write.partitionBy(BUCKET_COL)
             .mode("overwrite")
             .parquet(out_dir)
         )
@@ -296,8 +324,7 @@ class LakeTable:
             buckets.pop(str(b), None)
         buckets.update(new_buckets)
 
-        n_changes = chg.count()
-        n_deletes = chg.filter(F.col("op") == "D").count()
+        chg.unpersist()
         stats = {
             "batch_key": batch_key,
             "noop": False,

@@ -77,6 +77,106 @@ def last_write_wins(
     )
 
 
+def compact_agg(raw: DataFrame, schema, num_buckets: int | None = None) -> DataFrame:
+    """Aggregation-based LWW compaction — the scale path.
+
+    Equivalent to ``last_write_wins`` + typed projection, but built on
+    hash aggregation instead of a window sort:
+
+    ONE groupBy (repo, path) with map-side partial aggregation picks, per
+    key, the winning (lsn, seq, op) AND, per column, the payload of the
+    last row that *explicitly set* it: ``max(when(set, struct(lsn, seq,
+    value)))`` — the struct max orders by (lsn, seq) and carries the
+    value along, so TOAST carry-forward needs neither a sort nor a
+    fetch join (TOAST 'u' cells and deletes don't "set"; max needs no
+    ordering guarantee because lsn is per-key monotone).
+
+    On a 10^10-event replay the partial agg collapses each key's version
+    chain inside the map task, so the shuffle carries ~one row per key,
+    not one per version. Output: typed key+value columns, lsn, op —
+    identical contract to the window path (verified by the oracle tests).
+
+    With ``num_buckets`` set, the frame is repartitioned ONCE on the lake
+    bucket (pmod(xxhash64(keys), B)) and every downstream step — the
+    winner aggregation, the payload fetch join, and the lake MERGE join —
+    runs inside those same partitions (grouping/join keys include
+    ``__bucket``, and hash-partitioning on the bucket satisfies their
+    clustered distribution). One payload shuffle for the entire apply:
+    the storage-partitioned-join layout Iceberg bucketed tables use.
+    """
+    from ..functions import casts
+    from ..lake.table import BUCKET_COL, _bucket_expr
+
+    data = raw.filter(F.col("op").isin("I", "U", "D"))
+    key_cols = schema.key_columns
+    value_cols = schema.value_columns
+
+    aggs = [
+        F.max(F.struct(F.col("lsn"), F.col("seq"), F.col("op"))).alias("win")
+    ]
+    for c in value_cols:
+        # a column is SET when the tuple carried a cell for it — explicit
+        # NULL ('n') is present in the map with a null value, TOAST ('u')
+        # is absent + listed in toast_cols (parser.go:325-344 semantics).
+        # An extra boolean field keeps explicit NULL distinguishable
+        # inside the struct max.
+        is_set = (
+            F.col("op").isin("I", "U")
+            & F.map_contains_key(F.col("new_vals"), c)
+            & ~F.array_contains(
+                F.coalesce(F.col("toast_cols"), F.array().cast("array<string>")), c
+            )
+        )
+        aggs.append(
+            F.max(
+                F.when(
+                    is_set,
+                    F.struct(
+                        F.col("lsn"),
+                        F.col("seq"),
+                        F.col("new_vals").getItem(c).alias("v"),
+                    ),
+                )
+            ).alias(f"__last_{c}")
+        )
+
+    keys = [
+        F.coalesce(
+            F.col("new_vals").getItem(k), F.col("old_vals").getItem(k)
+        ).alias(k)
+        for k in key_cols
+    ]
+    base = data.select(
+        *keys, F.col("lsn"), F.col("seq"), F.col("op"),
+        F.col("new_vals"), F.col("toast_cols"),
+    )
+    group_cols = list(key_cols)
+    if num_buckets is not None:
+        base = base.withColumn(BUCKET_COL, _bucket_expr(key_cols, num_buckets))
+        base = base.repartition(num_buckets, F.col(BUCKET_COL))
+        group_cols = [BUCKET_COL, *key_cols]
+
+    agged = base.groupBy(*group_cols).agg(*aggs)
+
+    out_cols = []
+    if num_buckets is not None:
+        out_cols.append(F.col(BUCKET_COL))
+    for k in key_cols:
+        out_cols.append(
+            casts.cast_text_value(F.col(k), schema.oid_of(k)).alias(k)
+        )
+    for c in value_cols:
+        out_cols.append(
+            casts.cast_text_value(
+                F.col(f"__last_{c}").getField("v"), schema.oid_of(c)
+            ).alias(c)
+        )
+    out_cols.append(F.col("win.lsn").alias("lsn"))
+    out_cols.append(F.col("win.seq").alias("seq"))
+    out_cols.append(F.col("win.op").alias("op"))
+    return agged.select(*out_cols)
+
+
 def truncate_barrier_lsn(changes: DataFrame) -> int | None:
     """Highest TRUNCATE lsn in the change set (None if no truncate)."""
     row = changes.filter(F.col("op") == "T").agg(F.max("lsn").alias("l")).collect()[0]

@@ -94,6 +94,12 @@ class RelationRegistry:
             .orderBy("lsn")
             .collect()
         )
+        return self.update_from_rows(rel_rows)
+
+    def update_from_rows(self, rel_rows) -> "RelationRegistry":
+        """Same fold from already-collected rows (driver-side), used when
+        the R rows ride a combined control-plane aggregate."""
+        rel_rows = sorted(rel_rows, key=lambda r: r["lsn"])
         for r in rel_rows:
             cols = [(c["name"], c["type_oid"], c["is_key"]) for c in r["rel_columns"]]
             cur = self.relations.get(r["rel_id"])

