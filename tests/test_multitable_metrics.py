@@ -1,0 +1,101 @@
+"""Multi-table routing (T7) through the full pipeline, and the metrics
+log surface (W7)."""
+
+import datetime
+
+from wal_listener_spark import pipeline
+from wal_listener_spark.config import PipelineConfig
+from wal_listener_spark.lake.table import LakeTable
+from wal_listener_spark.metrics import MetricsLog
+from wal_listener_spark.trace.generator import TRACE_SCHEMA
+
+
+def _rel(lsn, rel_id, name, cols):
+    return (
+        lsn, -1, 0, "R", rel_id, "public", name,
+        [(c, 25, c == "k", -1) for c in cols],
+        None, None, None, None, None,
+    )
+
+
+def _tx(rows, k, rel_id, lsn0, vals):
+    ts = datetime.datetime(2024, 1, 1)
+    rows.append((lsn0, k, -1, "B", None, None, None, None, None, None, None, ts, None))
+    rows.append(
+        (lsn0 + 1, k, 0, "I", rel_id, None, None, None, None, vals, [], None, None)
+    )
+    rows.append((lsn0 + 2, k, 99, "C", None, None, None, None, None, None, None, ts, None))
+
+
+def test_two_relations_merge_into_one_lake(spark, tmp_path):
+    """Events for two relations in one batch route to per-table merges;
+    the lake schema is the union of both relations' columns (schema-on-
+    read NULLs elsewhere), mirroring multi-topic fan-out (event.go:24-36).
+    """
+    rows = [
+        _rel(1, 1, "repos", ["k", "content"]),
+        _rel(2, 2, "meta", ["k", "owner"]),
+    ]
+    _tx(rows, 10, 1, 100, {"k": "a", "content": "c1"})
+    _tx(rows, 11, 2, 200, {"k": "b", "owner": "me"})
+    trace = spark.createDataFrame(rows, TRACE_SCHEMA)
+
+    tb = LakeTable.create(
+        spark, str(tmp_path / "t"), ["k"], [("k", "string")], num_buckets=4
+    )
+    stats = pipeline.replay_batch(trace, tb, PipelineConfig(num_buckets=4), "b0")
+    assert set(stats["tables"]) == {"public_repos", "public_meta"}
+    tb = LakeTable.load(spark, str(tmp_path / "t"))
+    got = {r["k"]: r.asDict() for r in tb.read_public().collect()}
+    assert got["a"]["content"] == "c1" and got["a"]["owner"] is None
+    assert got["b"]["owner"] == "me" and got["b"]["content"] is None
+
+
+def test_metrics_log_records_counters(spark, tmp_path):
+    rows = [_rel(1, 1, "repos", ["k", "content"])]
+    _tx(rows, 10, 1, 100, {"k": "a", "content": "c1"})
+    # an uncommitted tx -> problematic_events (parser.go:20-23 analog)
+    rows.append((300, 77, 0, "I", 1, None, None, None, None, {"k": "z", "content": "x"}, [], None, None))
+    trace = spark.createDataFrame(rows, TRACE_SCHEMA)
+    tb = LakeTable.create(
+        spark, str(tmp_path / "t"), ["k"], [("k", "string")], num_buckets=4
+    )
+    stats = pipeline.replay_batch(trace, tb, PipelineConfig(num_buckets=4), "b0")
+    assert stats["quarantined"] == 1
+
+    log = MetricsLog(str(tmp_path / "metrics.jsonl"))
+    log.record_batch(stats)
+    entries = log.read_all()
+    kinds = {e["kind"] for e in entries}
+    assert "problematic_events_total" in kinds
+    assert "published_events_total" in kinds
+    pub = [e for e in entries if e["kind"] == "published_events_total"][0]
+    assert pub["upserts"] == 1 and pub["table"] == "public_repos"
+
+
+def test_replay_job_cli(spark, tmp_path):
+    """The spark-submit entrypoint end-to-end (bounded local run)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import replay_job
+
+    from wal_listener_spark.streaming.job import write_tx_aligned
+    from wal_listener_spark.trace import generator
+
+    trace = generator.build_trace(spark, "/root/testdata/sf0.001", amplify=1)
+    write_tx_aligned(trace, str(tmp_path / "trace"), num_files=4)
+    rc = replay_job.main(
+        [
+            "--trace-dir", str(tmp_path / "trace"),
+            "--table-root", str(tmp_path / "lake"),
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--num-buckets", "4",
+            "--master", "local[4]",
+            "--metrics-log", str(tmp_path / "m.jsonl"),
+        ]
+    )
+    assert rc == 0
+    tb = LakeTable.load(spark, str(tmp_path / "lake"))
+    assert tb.read_public().count() > 0
+    assert MetricsLog(str(tmp_path / "m.jsonl")).read_all()
