@@ -45,7 +45,9 @@ def parse_args(argv):
     return p.parse_args(argv)
 
 
-def main(argv=None) -> int:
+def main(argv=None, stop_session: bool = True) -> int:
+    """``stop_session=False`` when embedding into an existing session
+    (getOrCreate reuses it; stopping would kill the caller's context)."""
     args = parse_args(argv if argv is not None else sys.argv[1:])
 
     from wal_listener_spark.config import PipelineConfig
@@ -87,7 +89,8 @@ def main(argv=None) -> int:
         for s in stats:
             log.record_batch(s)
     print(json.dumps({"epochs": len(stats), "noops": sum(1 for s in stats if s.get("noop"))}))
-    spark.stop()
+    if stop_session:
+        spark.stop()
     return 0
 
 

@@ -91,9 +91,9 @@ def test_replay_job_cli(spark, tmp_path):
             "--table-root", str(tmp_path / "lake"),
             "--checkpoint", str(tmp_path / "ckpt"),
             "--num-buckets", "4",
-            "--master", "local[4]",
             "--metrics-log", str(tmp_path / "m.jsonl"),
-        ]
+        ],
+        stop_session=False,  # embedded in the test session
     )
     assert rc == 0
     tb = LakeTable.load(spark, str(tmp_path / "lake"))
