@@ -15,8 +15,19 @@ in its own subprocess (cold JVM) so JIT warm-up can't tilt the
 comparison.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32), BENCH_AMPLIFY (default 200),
-BENCH_SKIP_SCALING=1 to skip the low-parallelism run.
+SPARK_GRAFT_CPUS (default 32), BENCH_AMPLIFY (default 600),
+BENCH_REPS (default 3), BENCH_SKIP_SCALING=1 to skip the
+low-parallelism run.
+
+CAVEAT on the sandbox numbers: this host is shared (co-tenant load
+bursts of 8-18 cores observed) and local mode runs all threads in ONE
+JVM — at 32 threads, total task CPU measurably inflates ~2x from
+shared-heap GC and memory-bandwidth contention (event-log task metrics:
+152s task-CPU at 8 threads vs 306s at 32 for the same input). Wall-clock
+scaling efficiency measured here therefore under-states what the same
+plan does on a real multi-executor cluster (separate heaps, separate
+memory buses). The plan-level evidence is in BENCH/BASELINE.md: no
+serial stage, one payload shuffle, map-side-combined compaction.
 """
 
 from __future__ import annotations
@@ -32,7 +43,7 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 LOW_CPUS = int(os.environ.get("BENCH_LOW_CPUS", "8"))
-AMPLIFY = int(os.environ.get("BENCH_AMPLIFY", "200"))
+AMPLIFY = int(os.environ.get("BENCH_AMPLIFY", "600"))
 DECODE_AMPLIFY = max(AMPLIFY // 10, 1)
 
 FIELDS = [
@@ -83,7 +94,7 @@ def replay_subcommand(trace_dir: str, cpus: int, buckets: int) -> None:
     # median-of-3: the sandbox host is shared (load-average bursts from
     # other tenants); repeated runs separate our cost from the noise
     secs = []
-    for rep in range(3):
+    for rep in range(int(os.environ.get("BENCH_REPS", "3"))):
         table = LakeTable.create(
             spark, os.path.join(work, f"lake{rep}"), ["repo", "path"], FIELDS,
             num_buckets=buckets,
@@ -95,7 +106,7 @@ def replay_subcommand(trace_dir: str, cpus: int, buckets: int) -> None:
     shutil.rmtree(work, ignore_errors=True)
     secs.sort()
     print(json.dumps({
-        "sec": secs[1], "sec_min": secs[0], "runs": secs, "events": n_events,
+        "sec": secs[len(secs) // 2], "sec_min": secs[0], "runs": secs, "events": n_events,
         "loadavg": open("/proc/loadavg").read().split()[0],
     }))
 

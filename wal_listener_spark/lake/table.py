@@ -351,6 +351,98 @@ class LakeTable:
         self._commit_manifest()
         return stats
 
+    # --------------------------------------------------------- maintenance
+    def compact(self, tombstone_watermark_lsn: int | None = None) -> dict:
+        """Maintenance rewrite: GC delete-tombstones whose LSN is at or
+        below the watermark (default: the table's last_applied_lsn — safe
+        once no in-flight epoch can carry older LSNs) and rewrite every
+        live bucket into a single file per bucket.
+
+        The Iceberg analog is rewrite_data_files + a delete-file sweep.
+        Runs as its own snapshot commit; readers on the previous snapshot
+        are unaffected (copy-on-write).
+        """
+        wm = (
+            tombstone_watermark_lsn
+            if tombstone_watermark_lsn is not None
+            else self.last_applied_lsn
+        )
+        live = self.read().filter(
+            ~(F.coalesce(F.col(DELETED_COL), F.lit(False)) & (F.col(LSN_COL) <= wm))
+        ).withColumn(BUCKET_COL, _bucket_expr(self.key_cols, self.num_buckets))
+
+        new_version = self.manifest["version"] + 1
+        rel_dir = f"data/v{new_version}"
+        out_dir = os.path.join(self.root, rel_dir)
+        (
+            live.repartition(self.num_buckets, F.col(BUCKET_COL))
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        new_buckets: dict[str, list[str]] = {}
+        for entry in os.listdir(out_dir):
+            if entry.startswith(f"{BUCKET_COL}="):
+                b = entry.split("=", 1)[1]
+                new_buckets[b] = [
+                    f"{rel_dir}/{entry}/{fn}"
+                    for fn in os.listdir(os.path.join(out_dir, entry))
+                    if fn.endswith(".parquet")
+                ]
+        self.manifest["version"] = new_version
+        self.manifest["buckets"] = new_buckets
+        stats = {
+            "batch_key": f"compact-v{new_version}",
+            "noop": False,
+            "compaction": True,
+            "tombstone_watermark": wm,
+            "snapshot_version": new_version,
+            "buckets_rewritten": sorted(int(b) for b in new_buckets),
+        }
+        self.manifest["lineage"].append(stats)
+        self._commit_manifest()
+        return stats
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Drop manifest versions older than the newest ``keep_last`` and
+        delete data directories no kept snapshot references (Iceberg
+        expire_snapshots + remove_orphan_files analog)."""
+        mdir = os.path.join(self.root, "manifest")
+        current = self.manifest["version"]
+        keep_versions = set(range(max(0, current - keep_last + 1), current + 1))
+
+        referenced: set[str] = set()
+        for v in sorted(keep_versions):
+            p = os.path.join(mdir, f"v{v}.json")
+            if not os.path.exists(p):
+                continue
+            with open(p) as f:
+                m = json.load(f)
+            for files in m.get("buckets", {}).values():
+                for fp in files:
+                    referenced.add(fp.split("/")[1])  # data/vN/... -> vN
+
+        removed_manifests = 0
+        for entry in os.listdir(mdir):
+            if entry.startswith("v") and entry.endswith(".json"):
+                v = int(entry[1:-5])
+                if v not in keep_versions:
+                    os.remove(os.path.join(mdir, entry))
+                    removed_manifests += 1
+        removed_dirs = 0
+        data_dir = os.path.join(self.root, "data")
+        for entry in os.listdir(data_dir):
+            if entry.startswith("v") and entry not in referenced:
+                import shutil
+
+                shutil.rmtree(os.path.join(data_dir, entry), ignore_errors=True)
+                removed_dirs += 1
+        return {
+            "kept_versions": sorted(keep_versions),
+            "removed_manifests": removed_manifests,
+            "removed_data_dirs": removed_dirs,
+        }
+
     # -------------------------------------------------------------- commit
     def _commit_manifest(self) -> None:
         """Atomic snapshot commit: manifest file then VERSION pointer swap

@@ -1,0 +1,67 @@
+"""Event-stream sink — the broker publishers (K1-K4) re-expressed.
+
+The reference publishes each Event as JSON to NATS/Kafka/RabbitMQ/PubSub
+(``/root/reference/internal/publisher/``). The Kafka producer partitions
+by a configurable row field (``messageKeyFrom``) falling back to table
+name (``kafka.go:120-153``, config ``config.go:47,59-61``) so consumers
+see per-key ordering.
+
+Spark-first: the lake MERGE is the primary sink; this module is the
+literal event-stream analog for consumers that want the change feed
+itself — JSON events written partitioned by subject, key-hash
+partitioned within a subject exactly like the Kafka hash partitioner
+(same key -> same partition -> per-key order preserved for consumers).
+On a cluster with Kafka available this maps 1:1 to
+``writeStream.format("kafka").option("kafka.bootstrap.servers", ...)``
+with the same key expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_message_key(
+    events: DataFrame,
+    message_key_from: str | None = None,
+) -> DataFrame:
+    """kafka.go:120-128: key = configured field from Data, else table."""
+    if message_key_from:
+        key = F.coalesce(
+            F.col("data").getItem(message_key_from), F.col("table")
+        )
+    else:
+        key = F.col("table")
+    return events.withColumn("message_key", key)
+
+
+def publish_events(
+    events: DataFrame,
+    out_dir: str,
+    num_partitions: int = 8,
+    message_key_from: str | None = None,
+) -> None:
+    """Write the JSON event feed, hash-partitioned by message key within
+    subject (sarama hash partitioner analog, kafka.go:110-117)."""
+    keyed = with_message_key(events, message_key_from)
+    keyed = keyed.withColumn(
+        "partition", F.pmod(F.xxhash64("message_key"), F.lit(num_partitions))
+    )
+    payload = keyed.select(
+        "subject",
+        "partition",
+        "message_key",
+        F.to_json(
+            F.struct("id", "schema", "table", "action", "data", "data_old",
+                     F.col("event_time").alias("commitTime"))
+        ).alias("value"),
+        "lsn",
+    )
+    (
+        payload.repartition(num_partitions, F.col("subject"), F.col("partition"))
+        .sortWithinPartitions("lsn")  # per-partition order = per-key order
+        .write.partitionBy("subject", "partition")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
