@@ -258,6 +258,43 @@ def q_cdc_decode_framed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.groupBy("op").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_cdc_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-repo rollup via the salted two-phase aggregation (hot repo =
+    ~1/3 of keys; north_rule skew handling). Result must equal a plain
+    GROUP BY — the oracle checks exactly that."""
+    from .operators import skew
+
+    final = _final_state_df(spark, sf_dir)
+    return skew.salted_agg(
+        final, ["repo"], ["path"], {"n_paths": ("count", "path")}, buckets=16
+    )
+
+
+def q_cdc_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-epoch replay; returns the lake's per-commit lineage counters
+    (W1/W2 resumability surface). Oracle: closed-form per-epoch key
+    counts from the trace spec."""
+    from .pipeline import replay_batch
+
+    trace = generator.build_trace(spark, sf_dir, amplify=AMPLIFY)
+    nk = generator.num_keys(spark, sf_dir, AMPLIFY)
+    split_lsn = (nk // 2 + 1) * 16  # key k owns LSN slot [(k+1)*16, ...)
+    root = tempfile.mkdtemp(prefix="wal_lineage_")
+    table = LakeTable.create(spark, root, ["repo", "path"], FIELDS, num_buckets=16)
+    cfg = PipelineConfig(num_buckets=16)
+    replay_batch(trace.filter(F.col("lsn") < split_lsn), table, cfg, "e0")
+    table = LakeTable.load(spark, root)
+    replay_batch(trace.filter(F.col("lsn") >= split_lsn), table, cfg, "e1")
+    table = LakeTable.load(spark, root)
+    rows = [
+        (e["batch_key"].split(":")[0], e["upserts"], e["deletes"])
+        for e in table.manifest["lineage"]
+    ]
+    return spark.createDataFrame(
+        rows, "epoch string, upserts bigint, deletes bigint"
+    )
+
+
 def q_cdc_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OID cast matrix applied to deterministic text cells (T2)."""
     from .functions import casts
@@ -356,6 +393,20 @@ SELECT op, n FROM (
   UNION ALL SELECT 'O', 1::BIGINT
   UNION ALL SELECT 'Y', 1::BIGINT
 ) t""",
+        "cdc_skew_salted_agg": f"""
+WITH {_keys_cte()}
+SELECT repo, count(*) AS n_paths
+FROM attrs WHERE k%{d} <> 0 GROUP BY repo""",
+        "cdc_lineage": f"""
+WITH {_keys_cte()},
+half AS (SELECT (SELECT count(*)*{A} FROM documents)//2 AS h)
+SELECT 'e0' AS epoch,
+       (SELECT count(*) FROM attrs, half WHERE k < h AND k%{d} <> 0)::BIGINT AS upserts,
+       (SELECT count(*) FROM attrs, half WHERE k < h AND k%{d} = 0)::BIGINT AS deletes
+UNION ALL
+SELECT 'e1',
+       (SELECT count(*) FROM attrs, half WHERE k >= h AND k%{d} <> 0)::BIGINT,
+       (SELECT count(*) FROM attrs, half WHERE k >= h AND k%{d} = 0)::BIGINT""",
         "cdc_cast_matrix": """
 SELECT doc_id,
   CAST(CASE WHEN doc_id%2=0 THEN 't' ELSE 'f' END AS BOOLEAN) AS as_bool,
@@ -381,4 +432,6 @@ CDC_QUERIES = {
     "cdc_quarantine_integrity": q_cdc_quarantine_integrity,
     "cdc_decode_framed": q_cdc_decode_framed,
     "cdc_cast_matrix": q_cdc_cast_matrix,
+    "cdc_skew_salted_agg": q_cdc_skew_salted_agg,
+    "cdc_lineage": q_cdc_lineage,
 }
