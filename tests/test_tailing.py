@@ -1,0 +1,101 @@
+"""True-tailing mode: cross-batch transaction assembly via
+applyInPandasWithState (SURVEY.md §7 hard part (b)). Input files are
+deliberately NOT tx-aligned — LSN ranges cut straight through
+transactions, so Begin and Commit arrive in different micro-batches."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import FIELDS, SF_DIR
+from wal_listener_spark import oracle
+from wal_listener_spark.config import PipelineConfig
+from wal_listener_spark.lake.table import LakeTable
+from wal_listener_spark.streaming import tailing
+from wal_listener_spark.trace import generator
+
+
+@pytest.fixture(scope="module")
+def straddling_trace(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("tail")
+    trace = generator.build_trace(spark, SF_DIR, amplify=1)
+    rows = [r.asDict(recursive=True) for r in trace.collect()]
+    path = str(root / "trace")
+    generator.write_trace(trace, path, num_files=6)  # raw lsn split
+    return path, oracle.apply_trace(rows)
+
+
+def _mk(spark, root):
+    return LakeTable.create(spark, root, ["repo", "path"], FIELDS, num_buckets=8)
+
+
+def _final(spark, root):
+    return {
+        (r["repo"], r["path"]): r["content"]
+        for r in LakeTable.load(spark, root).read_public().collect()
+    }
+
+
+def test_tailing_assembles_cross_batch_transactions(spark, straddling_trace, tmp_path):
+    trace_dir, expected = straddling_trace
+    root = str(tmp_path / "lake")
+    _mk(spark, root)
+    stats = tailing.run_tailing_stream(
+        spark, trace_dir, root, str(tmp_path / "ckpt"),
+        PipelineConfig(num_buckets=8), max_files_per_trigger=2,
+    )
+    assert len(stats) >= 2  # multiple epochs, txs straddled them
+    got = _final(spark, root)
+    assert set(got) == set(expected)
+    assert all(got[k] == expected[k].get("content") for k in expected)
+
+
+def test_tailing_state_survives_restart(spark, straddling_trace, tmp_path):
+    """Crash mid-tail: buffered open transactions live in the checkpointed
+    state store and must survive the restart (the reference would lose
+    them and re-read from the slot's restart_lsn — we get the same net
+    effect from offsets + state)."""
+    trace_dir, expected = straddling_trace
+    root = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    _mk(spark, root)
+
+    # first pass: consume only part of the input, then stop (availableNow
+    # honors maxFilesPerTrigger per epoch; simulate partial progress by
+    # failing the sink mid-stream)
+    calls = {"n": 0}
+
+    def _failing(batch_df, batch_id):
+        if calls["n"] >= 1:
+            raise RuntimeError("injected tail crash")
+        calls["n"] += 1
+        table = LakeTable.load(spark, root)
+        from wal_listener_spark.pipeline import replay_batch
+
+        replay_batch(batch_df, table, PipelineConfig(num_buckets=8), f"tail-{batch_id}")
+
+    from wal_listener_spark.trace.generator import TRACE_SCHEMA
+
+    tailing.seed_registry(spark, trace_dir, root)
+    stream = (
+        spark.readStream.schema(TRACE_SCHEMA)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(trace_dir)
+    )
+    q = (
+        tailing.assemble_stream(stream)
+        .writeStream.foreachBatch(_failing)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination()
+
+    # resume from the same checkpoint: state store restores open txs
+    stats = tailing.run_tailing_stream(
+        spark, trace_dir, root, ckpt,
+        PipelineConfig(num_buckets=8), max_files_per_trigger=2,
+    )
+    got = _final(spark, root)
+    assert set(got) == set(expected)
+    assert all(got[k] == expected[k].get("content") for k in expected)

@@ -97,7 +97,16 @@ def replay_batch(
     registry = RelationRegistry.from_json(table.properties.get("registry"))
     registry.update_from_rows(ctl["rels"] or [])
     if not registry.relations:
-        return {"batch_key": batch_key, "noop": True, "reason": "no_relations"}
+        if ctl["high_lsn"] is None:
+            return {"batch_key": batch_key, "noop": True, "reason": "empty_batch"}
+        # data with no known relation: the reference fail-stops with
+        # ErrMessageLost (wal.go:32, parser.go:79-81). Failing the epoch
+        # is retryable and loses nothing; a silent noop would drop rows
+        # a stateful upstream has already released exactly-once.
+        raise ValueError(
+            f"batch {batch_key} carries change rows but no relation is "
+            "registered (seed the registry or include Relation messages)"
+        )
     if ctl["high_lsn"] is None:
         # registry-only batch: persist what we learned, no data to merge
         table.properties["registry"] = registry.to_json()
