@@ -15,8 +15,8 @@ in its own subprocess (cold JVM) so JIT warm-up can't tilt the
 comparison.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32), BENCH_AMPLIFY (default 600),
-BENCH_REPS (default 3), BENCH_SKIP_SCALING=1 to skip the
+SPARK_GRAFT_CPUS (default 32), BENCH_AMPLIFY (default 400),
+BENCH_REPS (default 2), BENCH_SKIP_SCALING=1 to skip the
 low-parallelism run.
 
 CAVEAT on the sandbox numbers: this host is shared (co-tenant load
@@ -43,7 +43,7 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 LOW_CPUS = int(os.environ.get("BENCH_LOW_CPUS", "8"))
-AMPLIFY = int(os.environ.get("BENCH_AMPLIFY", "600"))
+AMPLIFY = int(os.environ.get("BENCH_AMPLIFY", "400"))
 DECODE_AMPLIFY = max(AMPLIFY // 10, 1)
 
 FIELDS = [
@@ -94,7 +94,7 @@ def replay_subcommand(trace_dir: str, cpus: int, buckets: int) -> None:
     # median-of-3: the sandbox host is shared (load-average bursts from
     # other tenants); repeated runs separate our cost from the noise
     secs = []
-    for rep in range(int(os.environ.get("BENCH_REPS", "3"))):
+    for rep in range(int(os.environ.get("BENCH_REPS", "2"))):
         table = LakeTable.create(
             spark, os.path.join(work, f"lake{rep}"), ["repo", "path"], FIELDS,
             num_buckets=buckets,
