@@ -85,10 +85,14 @@ def replay_subcommand(trace_dir: str, cpus: int, buckets: int) -> None:
 
     # JVM/codegen warmup: replay a small slice into a throwaway table so
     # the timed run measures steady-state throughput, not JIT compilation
-    # (cold 32-thread runs measured ~2x slower purely from warmup)
-    warm = LakeTable.create(
-        spark, os.path.join(work, "warm"), ["repo", "path"], FIELDS, num_buckets=buckets
-    )
+    # (cold 32-thread runs measured ~2x slower purely from warmup).
+    # limit() may omit the Relation rows -> seed the registry first.
+    from wal_listener_spark.streaming.tailing import seed_registry
+
+    warm_root = os.path.join(work, "warm")
+    LakeTable.create(spark, warm_root, ["repo", "path"], FIELDS, num_buckets=buckets)
+    seed_registry(spark, trace_dir, warm_root)
+    warm = LakeTable.load(spark, warm_root)
     replay_batch(trace.limit(50000), warm, PipelineConfig(num_buckets=buckets), "warm")
 
     # median-of-3: the sandbox host is shared (load-average bursts from
