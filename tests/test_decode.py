@@ -94,6 +94,40 @@ def test_truncate_fanout_and_unknown_type_skipped(spark):
     assert sorted(r["rel_id"] for r in fanned) == [1, 2]
 
 
+def test_assign_tx_across_range_boundaries(spark):
+    """A transaction whose rows straddle a stripe boundary must still get
+    its Begin's XID (per-range mode with the cross-stripe carry). Forcing
+    num_ranges >> tx width makes every tx straddle several stripes."""
+    us = ts_to_pg_micros(1700000000.0)
+    frames = []
+    for t, (xid, base) in enumerate([(101, 100), (202, 200), (303, 300)]):
+        frames.append((base, framing.encode_begin(base, us, xid)))
+        for j in range(5):
+            frames.append(
+                (base + 1 + j, framing.encode_insert(1, [("t", f"k{t}{j}".encode())]))
+            )
+        frames.append((base + 9, framing.encode_commit(base + 9, base + 9, us)))
+    df = spark.createDataFrame(frames, "lsn long, frame binary")
+    reg = RelationRegistry()
+    reg.relations[1] = RelationSchema(1, "public", "t1", [("k", 25, True)])
+    columnar = decode.resolve_names(decode.decode_frames(df), reg)
+
+    strict = {
+        r["lsn"]: (r["tx_id"], r["seq"])
+        for r in decode.assign_tx(columnar, per_range=False).collect()
+    }
+    for n_ranges in (4, 50):  # 50 > lsn span/row count: every tx straddles
+        ranged = {
+            r["lsn"]: (r["tx_id"], r["seq"])
+            for r in decode.assign_tx(
+                columnar, per_range=True, num_ranges=n_ranges
+            ).collect()
+        }
+        assert ranged == strict
+    # row_number runs over the whole tx partition (B row counts first)
+    assert strict[105] == (101, 6) and strict[304] == (303, 5)
+
+
 def test_framed_roundtrip_matches_oracle(spark, tmp_path):
     """Full capability test: columnar -> byte frames -> vectorized decode
     -> registry name resolution -> tx assignment -> replay == oracle."""
@@ -113,7 +147,9 @@ def test_framed_roundtrip_matches_oracle(spark, tmp_path):
             "lsn", "rel_id", "schema_name", "table_name", "rel_columns"
         )
     )
-    columnar = decode.assign_tx(decode.resolve_names(decoded, reg), per_range=False)
+    # per_range=True: the deterministic-stripe scale path (carry map
+    # handles transactions straddling stripe boundaries)
+    columnar = decode.assign_tx(decode.resolve_names(decoded, reg), per_range=True)
 
     tb = LakeTable.create(
         spark, str(tmp_path / "t"), ["repo", "path"], FIELDS, num_buckets=8

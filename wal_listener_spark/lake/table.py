@@ -180,9 +180,13 @@ class LakeTable:
         ``changes``: ONE row per key (already LWW-compacted batch-locally)
         with columns = key cols + value cols + ``lsn`` + ``op``
         ('I'/'U' upsert, 'D' delete).
-        ``coalesce_cols``: TOASTable columns — NULL in the batch means
-        "unchanged", merged as coalesce(source, target)
-        (SURVEY.md §7 hard part (c)).
+        ``coalesce_cols``: TOASTable columns. When the change set carries
+        ``__set_<col>`` markers (both compaction paths emit them), the
+        marker decides: set -> take the batch value even when it is an
+        explicit SQL NULL; unset (TOAST 'u' all batch) -> keep the
+        target. Without markers, NULL falls back to "unchanged"
+        (coalesce(source, target)) — legacy callers only; that form
+        cannot represent UPDATE-to-NULL (SURVEY.md §7 hard part (c)).
         ``batch_key`` idempotency: replaying an already-committed epoch is
         a no-op (foreachBatch may re-deliver after crash); per-key
         ``lsn``-monotonic guard makes overlapping LSN ranges no-ops too.
@@ -266,9 +270,15 @@ class LakeTable:
             # a batch written before a column evolved in simply lacks it
             src = F.col(f"c.{v}") if v in chg_cols else F.lit(None)
             tgt = F.col(f"t.{v}")
-            if v in coalesce_cols:
-                # TOAST 'u': unchanged keeps target — but never coalesce
-                # out of a tombstone (its values are semantically absent)
+            if v in coalesce_cols and f"__set_{v}" in chg_cols:
+                # marker-gated TOAST: explicitly-set wins (even explicit
+                # NULL); unset keeps target — but never coalesce out of a
+                # tombstone (its values are semantically absent)
+                new_val = F.when(F.col(f"c.__set_{v}"), src).otherwise(
+                    F.when(~t_deleted, tgt)
+                )
+            elif v in coalesce_cols:
+                # legacy NULL-means-unchanged fallback (no markers)
                 new_val = F.coalesce(src, F.when(~t_deleted, tgt))
             else:
                 new_val = src

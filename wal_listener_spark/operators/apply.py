@@ -35,12 +35,19 @@ def last_write_wins(
     toastable_cols: list[str] | None = None,
     lsn_col: str = "lsn",
     seq_col: str = "seq",
+    emit_set_markers: bool = False,
 ) -> DataFrame:
     """Compact a change set to one final row per key.
 
     Input rows: op in (I,U,D) with typed columns + ``toast_cols`` array.
     Output: surviving rows (op != D at the end), one per key, with
     ``lsn``/``seq``/``commit_ts`` of the winning change.
+
+    ``emit_set_markers``: additionally emit ``__set_<col>`` booleans —
+    True iff some row in the batch *explicitly set* the column (a 't' or
+    'n' cell; TOAST 'u' does not set). The cross-epoch MERGE needs the
+    marker to tell an explicit UPDATE-to-NULL apart from TOAST-unchanged
+    (both surface as NULL in the compacted value).
     """
     toastable = toastable_cols if toastable_cols is not None else value_cols
     w_fwd = (
@@ -56,16 +63,16 @@ def last_write_wins(
                 F.array_contains(F.col("toast_cols"), c) | (F.col("op") == "D"),
                 F.lit(None),
             ).otherwise(F.struct(F.col(c).alias("v")))
-            df = df.withColumn(
-                c, F.last(wrapped, ignorenulls=True).over(w_fwd).getField("v")
-            )
         else:
             wrapped = F.when(F.col("op") == "D", F.lit(None)).otherwise(
                 F.struct(F.col(c).alias("v"))
             )
-            df = df.withColumn(
-                c, F.last(wrapped, ignorenulls=True).over(w_fwd).getField("v")
-            )
+        carried = F.last(wrapped, ignorenulls=True).over(w_fwd)
+        if emit_set_markers:
+            # markers first: the value overwrite below must not shadow
+            # the original column the wrapped expression reads
+            df = df.withColumn(f"__set_{c}", carried.isNotNull())
+        df = df.withColumn(c, carried.getField("v"))
 
     w_last = Window.partitionBy(*key_cols).orderBy(
         F.col(lsn_col).desc(), F.col(seq_col).desc()
@@ -140,9 +147,14 @@ def compact_agg(raw: DataFrame, schema, num_buckets: int | None = None) -> DataF
             ).alias(f"__last_{c}")
         )
 
+    # key OID casts happen BEFORE the bucket hash: the merge recomputes
+    # target buckets from the *typed* stored columns, so hashing the raw
+    # text here would desync the prebucketed join for non-text key OIDs
+    # (int keys, case-normalized uuid) and silently duplicate keys.
     keys = [
-        F.coalesce(
-            F.col("new_vals").getItem(k), F.col("old_vals").getItem(k)
+        casts.cast_text_value(
+            F.coalesce(F.col("new_vals").getItem(k), F.col("old_vals").getItem(k)),
+            schema.oid_of(k),
         ).alias(k)
         for k in key_cols
     ]
@@ -162,15 +174,19 @@ def compact_agg(raw: DataFrame, schema, num_buckets: int | None = None) -> DataF
     if num_buckets is not None:
         out_cols.append(F.col(BUCKET_COL))
     for k in key_cols:
-        out_cols.append(
-            casts.cast_text_value(F.col(k), schema.oid_of(k)).alias(k)
-        )
+        out_cols.append(F.col(k))
     for c in value_cols:
         out_cols.append(
             casts.cast_text_value(
                 F.col(f"__last_{c}").getField("v"), schema.oid_of(c)
             ).alias(c)
         )
+    for c in value_cols:
+        # per-column 'was explicitly set' marker: the merge gates its
+        # TOAST coalesce on this, so an explicit UPDATE-to-NULL is not
+        # resurrected from the target (NULL-ness alone can't tell them
+        # apart once the map is flattened to typed columns)
+        out_cols.append(F.col(f"__last_{c}").isNotNull().alias(f"__set_{c}"))
     out_cols.append(F.col("win.lsn").alias("lsn"))
     out_cols.append(F.col("win.seq").alias("seq"))
     out_cols.append(F.col("win.op").alias("op"))

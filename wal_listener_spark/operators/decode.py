@@ -298,25 +298,73 @@ def resolve_names(decoded: DataFrame, registry: RelationRegistry) -> DataFrame:
     return non_trunc.unionByName(trunc)
 
 
-def assign_tx(columnar: DataFrame, per_range: bool = True) -> DataFrame:
+def assign_tx(
+    columnar: DataFrame, per_range: bool = True, num_ranges: int | None = None
+) -> DataFrame:
     """Stamp each DML row with the XID of the preceding Begin, and a
     per-tx seq from LSN order.
 
-    ``per_range=True`` assumes tx-aligned input splits (write_trace
-    guarantees it for replay) and runs inside range partitions — no
-    global shuffle. ``per_range=False`` is the strict single-consumer
+    ``per_range=True`` is the scale path: rows are hashed into
+    *deterministic* LSN ranges (fixed-width stripes of the observed
+    [min, max] LSN span — NOT ``repartitionByRange``, whose sampled
+    boundaries are nondeterministic and can split a transaction so its
+    head rows precede any Begin in their partition). The per-range
+    window finds the preceding Begin inside each stripe; rows before
+    their stripe's first Begin (a transaction straddling a stripe
+    boundary) take the carried XID of the last Begin in any earlier
+    stripe — an O(num_ranges) driver-side scan-line, broadcast back as
+    a literal map. ``per_range=False`` is the strict single-consumer
     fallback (global window), correct for any input but serial —
     exactly what the reference's one-thread loop does.
     """
     if per_range:
-        df = columnar.repartitionByRange(F.col("lsn"))
-        w = Window.partitionBy(F.spark_partition_id()).orderBy("lsn")
+        spark = columnar.sparkSession
+        if num_ranges is None:
+            num_ranges = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        bounds = columnar.agg(
+            F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is None:
+            return columnar  # empty batch
+        lo, hi = int(bounds["lo"]), int(bounds["hi"])
+        width = max((hi - lo) // num_ranges + 1, 1)
+        rid = F.floor((F.col("lsn") - F.lit(lo)) / F.lit(width)).cast("int")
+        df = columnar.withColumn("__rid", rid).repartition(
+            num_ranges, F.col("__rid")
+        )
+        w = Window.partitionBy("__rid").orderBy("lsn")
+        # carry map: for each stripe, the XID of the last Begin in any
+        # strictly-earlier stripe (tiny pushed-down agg over B rows only)
+        lastb = (
+            columnar.filter(F.col("op") == "B")
+            .groupBy(F.floor((F.col("lsn") - F.lit(lo)) / F.lit(width)).cast("int").alias("__rid"))
+            .agg(F.max(F.struct(F.col("lsn"), F.col("tx_id"))).alias("lb"))
+            .collect()
+        )
+        last_by_rid = {r["__rid"]: r["lb"]["tx_id"] for r in lastb}
+        carry_pairs: list[tuple[int, int]] = []
+        carried: int | None = None
+        for r in range(num_ranges + 1):
+            if carried is not None:
+                carry_pairs.append((r, carried))
+            if r in last_by_rid:
+                carried = last_by_rid[r]
+        carry_expr = F.lit(None).cast("long")
+        if carry_pairs:
+            carry_map = F.create_map(
+                *[F.lit(v) for pair in carry_pairs for v in pair]
+            )
+            carry_expr = carry_map.getItem(F.col("__rid")).cast("long")
     else:
         df = columnar
         w = Window.orderBy("lsn")
-    cur_xid = F.last(
-        F.when(F.col("op") == "B", F.col("tx_id")), ignorenulls=True
-    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        carry_expr = F.lit(None).cast("long")
+    cur_xid = F.coalesce(
+        F.last(
+            F.when(F.col("op") == "B", F.col("tx_id")), ignorenulls=True
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        carry_expr,
+    )
     # Commit frames carry no XID in pgoutput v1 — they close the tx the
     # preceding Begin opened, so C inherits cur_xid too.
     df = df.withColumn(
@@ -325,6 +373,8 @@ def assign_tx(columnar: DataFrame, per_range: bool = True) -> DataFrame:
             F.col("tx_id")
         ),
     )
+    if per_range:
+        df = df.drop("__rid")
     w_seq = Window.partitionBy("tx_id").orderBy("lsn")
     return df.withColumn(
         "seq",

@@ -47,6 +47,7 @@ def compact_for_merge(
         key_cols=schema.key_columns,
         value_cols=schema.value_columns,
         toastable_cols=schema.value_columns,
+        emit_set_markers=True,
     )
     if t_lsn is not None:
         # keys fully before the barrier are wiped by the merge's
@@ -169,7 +170,11 @@ def replay_batch(
             typed = typed_changes(rel_rows, schema)
             compacted, _ = compact_for_merge(typed, schema)
             merge_input = compacted.select(
-                *schema.key_columns, *schema.value_columns, "lsn", "op"
+                *schema.key_columns,
+                *schema.value_columns,
+                *[f"__set_{c}" for c in schema.value_columns],
+                "lsn",
+                "op",
             )
         else:
             compacted = apply_op.compact_agg(
