@@ -38,6 +38,12 @@ def parse_args(argv):
     p.add_argument("--master", default=None)
     p.add_argument("--metrics-log", default=None)
     p.add_argument(
+        "--multi-table",
+        action="store_true",
+        help="bootstrap a LakeCatalog (one table per relation) instead of "
+        "the single flagship repos table",
+    )
+    p.add_argument(
         "--filter",
         default=None,
         help='JSON table->actions allow-list, e.g. \'{"repos": ["insert","update"]}\'',
@@ -65,16 +71,21 @@ def main(argv=None, stop_session: bool = True) -> int:
 
     # S2 analog: idempotent sink bootstrap (repository.go:36-42); the
     # schema evolves from Relation messages once the stream runs
-    LakeTable.create(
-        spark,
-        args.table_root,
-        key_cols=["repo", "path"],
-        fields=[
-            ("repo", "string"), ("path", "string"), ("commit", "string"),
-            ("lang", "string"), ("content", "string"),
-        ],
-        num_buckets=args.num_buckets,
-    )
+    if args.multi_table:
+        from wal_listener_spark.lake.catalog import LakeCatalog
+
+        LakeCatalog.create(spark, args.table_root, num_buckets=args.num_buckets)
+    else:
+        LakeTable.create(
+            spark,
+            args.table_root,
+            key_cols=["repo", "path"],
+            fields=[
+                ("repo", "string"), ("path", "string"), ("commit", "string"),
+                ("lang", "string"), ("content", "string"),
+            ],
+            num_buckets=args.num_buckets,
+        )
 
     stats = run_replay_stream(
         spark,

@@ -27,11 +27,13 @@ def _tx(rows, k, rel_id, lsn0, vals):
     rows.append((lsn0 + 2, k, 99, "C", None, None, None, None, None, None, None, ts, None))
 
 
-def test_two_relations_merge_into_one_lake(spark, tmp_path):
-    """Events for two relations in one batch route to per-table merges;
-    the lake schema is the union of both relations' columns (schema-on-
-    read NULLs elsewhere), mirroring multi-topic fan-out (event.go:24-36).
-    """
+def test_two_relations_route_to_their_own_tables(spark, tmp_path):
+    """Events for two relations in one batch route to per-relation
+    LakeTables under one catalog (the lake analog of per-table topic
+    fan-out, event.go:24-36); the union read NULL-fills the other
+    table's columns."""
+    from wal_listener_spark.lake.catalog import LakeCatalog
+
     rows = [
         _rel(1, 1, "repos", ["k", "content"]),
         _rel(2, 2, "meta", ["k", "owner"]),
@@ -40,15 +42,67 @@ def test_two_relations_merge_into_one_lake(spark, tmp_path):
     _tx(rows, 11, 2, 200, {"k": "b", "owner": "me"})
     trace = spark.createDataFrame(rows, TRACE_SCHEMA)
 
+    cat = LakeCatalog.create(spark, str(tmp_path / "cat"), num_buckets=4)
+    stats = pipeline.replay_batch(trace, cat, PipelineConfig(num_buckets=4), "b0")
+    assert set(stats["tables"]) == {"public_repos", "public_meta"}
+    cat = LakeCatalog.load(spark, str(tmp_path / "cat"))
+    assert cat.table_names() == ["public_meta", "public_repos"]
+    repos = {r["k"]: r.asDict() for r in cat.read_public("public_repos").collect()}
+    assert repos["a"]["content"] == "c1" and "owner" not in repos["a"]
+    got = {r["k"]: r.asDict() for r in cat.read_public().collect()}
+    assert got["a"]["content"] == "c1" and got["a"]["owner"] is None
+    assert got["b"]["owner"] == "me" and got["b"]["content"] is None
+    assert got["a"]["__table"] == "public_repos"
+
+
+def test_single_table_rejects_multi_relation_stream(spark, tmp_path):
+    import pytest
+
+    rows = [
+        _rel(1, 1, "repos", ["k", "content"]),
+        _rel(2, 2, "meta", ["k", "owner"]),
+    ]
+    _tx(rows, 10, 1, 100, {"k": "a", "content": "c1"})
+    _tx(rows, 11, 2, 200, {"k": "a", "owner": "me"})
+    trace = spark.createDataFrame(rows, TRACE_SCHEMA)
     tb = LakeTable.create(
         spark, str(tmp_path / "t"), ["k"], [("k", "string")], num_buckets=4
     )
-    stats = pipeline.replay_batch(trace, tb, PipelineConfig(num_buckets=4), "b0")
-    assert set(stats["tables"]) == {"public_repos", "public_meta"}
-    tb = LakeTable.load(spark, str(tmp_path / "t"))
-    got = {r["k"]: r.asDict() for r in tb.read_public().collect()}
-    assert got["a"]["content"] == "c1" and got["a"]["owner"] is None
-    assert got["b"]["owner"] == "me" and got["b"]["content"] is None
+    with pytest.raises(ValueError, match="LakeCatalog"):
+        pipeline.replay_batch(trace, tb, PipelineConfig(num_buckets=4), "b0")
+
+
+def test_truncate_scopes_to_its_relation(spark, tmp_path):
+    """TRUNCATE on relation A must not delete relation B's rows, and the
+    same key value in two relations must not collide (the round-1
+    shared-table bug)."""
+    from wal_listener_spark.lake.catalog import LakeCatalog
+
+    rows = [
+        _rel(1, 1, "repos", ["k", "content"]),
+        _rel(2, 2, "meta", ["k", "owner"]),
+    ]
+    _tx(rows, 10, 1, 100, {"k": "a", "content": "c1"})
+    _tx(rows, 11, 2, 200, {"k": "a", "owner": "me"})  # same key value!
+    trace = spark.createDataFrame(rows, TRACE_SCHEMA)
+    cat = LakeCatalog.create(spark, str(tmp_path / "cat"), num_buckets=4)
+    cfg = PipelineConfig(num_buckets=4)
+    pipeline.replay_batch(trace, cat, cfg, "e0")
+
+    # epoch 2: truncate relation 1 only (lsn above everything applied)
+    rows2 = [
+        _rel(1, 1, "repos", ["k", "content"]),
+        _rel(2, 2, "meta", ["k", "owner"]),
+        (500, -2, 0, "T", 1, None, None, None, None, None, None, None, 0),
+    ]
+    trace2 = spark.createDataFrame(rows2, TRACE_SCHEMA)
+    cat = LakeCatalog.load(spark, str(tmp_path / "cat"))
+    pipeline.replay_batch(trace2, cat, cfg, "e1")
+
+    cat = LakeCatalog.load(spark, str(tmp_path / "cat"))
+    assert cat.read_public("public_repos").count() == 0, "A truncated"
+    meta = cat.read_public("public_meta").collect()
+    assert len(meta) == 1 and meta[0]["owner"] == "me", "B untouched"
 
 
 def test_metrics_log_records_counters(spark, tmp_path):

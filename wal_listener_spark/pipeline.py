@@ -60,11 +60,19 @@ def compact_for_merge(
 
 def replay_batch(
     trace: DataFrame,
-    table: LakeTable,
+    table: "LakeTable | LakeCatalog",
     cfg: PipelineConfig,
     batch_key: str,
 ) -> dict:
-    """Apply one micro-batch of trace rows to the lake table.
+    """Apply one micro-batch of trace rows to the lake.
+
+    ``table`` is either a bare :class:`LakeTable` (single-relation
+    stream — the flagship repos table) or a :class:`LakeCatalog`
+    (multi-relation stream: each relation merges into ITS OWN table
+    under the catalog root, the analog of per-table topics —
+    event.go:24-36). A bare LakeTable with a multi-relation registry is
+    rejected: one shared table cannot isolate relation key spaces or
+    scope a TRUNCATE to the relation that issued it.
 
     Exactly-once: (1) replayed epochs no-op on batch_key (the reference's
     LSN-ack analog, listener.go:426); (2) the merge's per-key
@@ -73,6 +81,9 @@ def replay_batch(
     any order (file listing makes no ordering promise) and the state
     still converges to the sequential result.
     """
+    from .lake.catalog import LakeCatalog
+
+    is_catalog = isinstance(table, LakeCatalog)
     # NOTE: deliberately NOT persisting the batch. The columnar cache
     # build for map/array-typed rows costs more than the 2-3 extra
     # parquet scans it saves (measured: +26s on a 500k-event batch at 32
@@ -155,9 +166,17 @@ def replay_batch(
         "tables": {},
     }
 
-    # one merge per relation (T7 multi-table routing)
+    if not is_catalog and len(registry.relations) > 1:
+        raise ValueError(
+            "multi-relation stream into a single LakeTable: a TRUNCATE or "
+            "key collision would cross relations — replay into a "
+            "LakeCatalog (lake/catalog.py) instead"
+        )
+
+    # one merge per relation, each into its own table (T7 routing)
     for rel_id, schema in sorted(registry.relations.items()):
-        table.ensure_columns(schema.spark_fields())
+        rel_table = table.table_for(schema) if is_catalog else table
+        rel_table.ensure_columns(schema.spark_fields())
         rel_rows = filtered.filter(F.col("rel_id") == rel_id)
         # agg-based LWW pre-bucketed on the lake layout: ONE payload
         # shuffle feeds compaction, payload fetch, merge join and the
@@ -178,22 +197,28 @@ def replay_batch(
             )
         else:
             compacted = apply_op.compact_agg(
-                rel_rows, schema, num_buckets=table.num_buckets
+                rel_rows, schema, num_buckets=rel_table.num_buckets
             )
             if t_lsn is not None:
                 compacted = compacted.filter(
                     (F.col("lsn") > F.lit(t_lsn)) | (F.col("op") == "D")
                 )
             merge_input = compacted  # carries __bucket: one-shuffle merge
-        mstats = table.merge_batch(
+        mstats = rel_table.merge_batch(
             merge_input,
             batch_key=f"{batch_key}:{schema.qualified_name}",
             high_lsn=high_lsn,
             truncate_lsn=t_lsn,
             coalesce_cols=schema.value_columns,
-            registry_json=registry.to_json(),
+            # single-table mode keeps the registry in table properties;
+            # catalog mode owns it at the catalog level (saved below)
+            registry_json=None if is_catalog else registry.to_json(),
         )
         stats["tables"][schema.qualified_name] = mstats
+
+    if is_catalog:
+        table.properties["registry"] = registry.to_json()
+        table.save_properties()
 
     if stats["tables"] and all(m.get("noop") for m in stats["tables"].values()):
         stats["noop"] = True

@@ -27,7 +27,6 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
-from ..lake.table import LakeTable
 from ..pipeline import replay_batch
 from ..trace import spec
 from ..trace.generator import TRACE_SCHEMA
@@ -73,8 +72,10 @@ def run_replay_stream(
     # the trace) restores the invariant — the analog of the reference
     # resuming a slot against an already-created publication
     # (listener.go:205-226).
-    table = LakeTable.load(spark, table_root)
+    from ..lake.catalog import load_target
     from ..operators.registry import RelationRegistry
+
+    table = load_target(spark, table_root)
 
     before = table.properties.get("registry") or []
     registry = RelationRegistry.from_json(before)
@@ -89,7 +90,7 @@ def run_replay_stream(
     def _apply(batch_df, batch_id: int) -> None:
         if fail_at_batch is not None and batch_id >= fail_at_batch:
             raise RuntimeError(f"injected crash at epoch {batch_id}")
-        table = LakeTable.load(spark, table_root)
+        table = load_target(spark, table_root)
         s = replay_batch(batch_df, table, cfg, batch_key=f"epoch-{batch_id}")
         stats.append(s)
 

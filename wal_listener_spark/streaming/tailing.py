@@ -36,7 +36,6 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
 from ..config import PipelineConfig
-from ..lake.table import LakeTable
 from ..pipeline import replay_batch
 from ..trace.generator import TRACE_SCHEMA
 
@@ -138,9 +137,10 @@ def seed_registry(spark: SparkSession, trace_dir: str, table_root: str) -> None:
     run_replay_stream: file epochs arrive in no particular LSN order, so
     a data epoch may precede the Relation epoch; one pushed-down op='R'
     scan restores the pgoutput relation-before-first-use invariant)."""
+    from ..lake.catalog import load_target
     from ..operators.registry import RelationRegistry
 
-    table = LakeTable.load(spark, table_root)
+    table = load_target(spark, table_root)
     before = table.properties.get("registry") or []
     registry = RelationRegistry.from_json(before)
     registry.update_from_trace(
@@ -167,7 +167,9 @@ def run_tailing_stream(
     seed_registry(spark, trace_dir, table_root)
 
     def _apply(batch_df, batch_id: int) -> None:
-        table = LakeTable.load(spark, table_root)
+        from ..lake.catalog import load_target
+
+        table = load_target(spark, table_root)
         s = replay_batch(batch_df, table, cfg, batch_key=f"tail-{batch_id}")
         stats.append(s)
 
