@@ -157,7 +157,11 @@ def main() -> None:
     small = generator.build_trace(spark, SF_DIR, amplify=DECODE_AMPLIFY)
     t0 = time.time()
     frames_dir = os.path.join(work, "frames")
-    framed.frames_from_columnar(small).write.mode("overwrite").parquet(frames_dir)
+    # the trace inherits the documents scan's few input splits; spread
+    # the frames so the decode stage actually gets CPUS-wide parallelism
+    framed.frames_from_columnar(small).repartition(CPUS * 2).write.mode(
+        "overwrite"
+    ).parquet(frames_dir)
     queries["framed_encode_write"] = round(time.time() - t0, 3)
     frames = spark.read.parquet(frames_dir)
     t0 = time.time()

@@ -38,11 +38,8 @@ def test_insert_with_null_and_toast_cells(spark):
     f = framing.encode_insert(5, [("t", b"42"), ("n", None), ("u", None)])
     out = _decode_frames(spark, [(10, f)])[10]
     assert out["op"] == "I" and out["rel_id"] == 5
-    assert out["new_cells"] == [
-        {"tag": "t", "value": "42"},
-        {"tag": "n", "value": None},
-        {"tag": "u", "value": None},
-    ]
+    assert out["new_cell_tags"] == ["t", "n", "u"]
+    assert out["new_cell_vals"] == ["42", None, None]
 
 
 def test_update_with_key_old_tuple(spark):
@@ -50,20 +47,20 @@ def test_update_with_key_old_tuple(spark):
         7, [("t", b"new")], old_cells=[("t", b"old")], old_kind="K"
     )
     out = _decode_frames(spark, [(11, f)])[11]
-    assert out["old_cells"][0]["value"] == "old"
-    assert out["new_cells"][0]["value"] == "new"
+    assert out["old_cell_tags"] == ["t"] and out["old_cell_vals"] == ["old"]
+    assert out["new_cell_vals"] == ["new"]
 
 
 def test_update_without_old_tuple(spark):
     f = framing.encode_update(7, [("t", b"new")])
     out = _decode_frames(spark, [(12, f)])[12]
-    assert out["old_cells"] is None and out["new_cells"][0]["value"] == "new"
+    assert out["old_cell_tags"] is None and out["new_cell_vals"] == ["new"]
 
 
 def test_delete_old_tuple(spark):
     f = framing.encode_delete(7, [("t", b"key")], old_kind="O")
     out = _decode_frames(spark, [(13, f)])[13]
-    assert out["op"] == "D" and out["old_cells"][0]["value"] == "key"
+    assert out["op"] == "D" and out["old_cell_vals"] == ["key"]
 
 
 def test_relation_columns(spark):
@@ -92,6 +89,21 @@ def test_truncate_fanout_and_unknown_type_skipped(spark):
     reg.relations[2] = RelationSchema(2, "public", "t2", [("k", 25, True)])
     fanned = decode.resolve_names(df, reg).filter(F.col("op") == "T").collect()
     assert sorted(r["rel_id"] for r in fanned) == [1, 2]
+
+
+def test_vectorized_matches_reference_decoder(spark):
+    """Parity pin: the batch-numpy decoder and the per-frame struct
+    golden decoder (`_decode_one`) must agree byte-for-byte on a full
+    trace (all frame kinds: B/C/R/I/U/D/T + ignored O/Y + evolution +
+    TOAST + explicit NULL cells)."""
+    from tests.conftest import SF_DIR
+
+    trace = generator.build_trace(spark, SF_DIR, amplify=1, k_tr=60)
+    frames = framed.frames_from_columnar(trace)
+    fast = {r["lsn"]: r for r in decode.decode_frames(frames).collect()}
+    gold = {r["lsn"]: r for r in decode.decode_frames_reference(frames).collect()}
+    assert set(fast) == set(gold)
+    assert all(fast[k] == gold[k] for k in gold)
 
 
 def test_assign_tx_across_range_boundaries(spark):

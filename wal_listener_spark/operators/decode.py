@@ -5,11 +5,18 @@ The reference parses frames one at a time on a single thread
 dispatch; primitive readers ``parser.go:253-344``). Spark-first split:
 
  1. ``decode_frames`` — mapInPandas over the ``(lsn, frame binary)``
-    stream: Arrow-batched structural decode producing *positional* cells
-    (pgoutput tuples carry no column names — names live in the Relation
-    registry). Unknown message types are skipped, not errors
-    (``parser.go:171-173``). The only Python in the engine, amortized
-    per Arrow batch; everything downstream is Catalyst.
+    stream. Inside each Arrow batch the structural parse is **batch
+    numpy**, not per-frame Python: frames are concatenated once, headers
+    (type byte, rel_id, XID, timestamps) decode via ``frombuffer``-style
+    gather over big-endian byte planes, and the ragged TupleData cells
+    scan with one vectorized step per cell *slot* (cursor arrays over
+    all frames of a type at once). The only per-frame Python left is
+    materializing the cell value strings — an irreducible object
+    construction. ``_decode_one`` (plain struct.unpack) is kept as the
+    golden reference implementation; a parity test pins the two
+    together. Unknown message types are skipped, not errors
+    (``parser.go:171-173``). Cells are *positional* — pgoutput tuples
+    carry no column names (names live in the Relation registry).
  2. ``resolve_names`` — the T1 "schema join" (``wal.go:63-114``) as a
     broadcast join on (rel_id, tuple arity) + ``arrays_zip``: cells are
     zipped with the relation's ordinal column list declaratively.
@@ -17,10 +24,8 @@ dispatch; primitive readers ``parser.go:253-344``). Spark-first split:
     column count), so mid-stream schema evolution resolves correctly
     without order-dependent state.
  3. ``assign_tx`` — propagate the Begin XID (``protocol.go:54-61``) to
-    the DML frames that follow it. Ordering state is per-LSN-range: on
-    the bounded replay path trace files are tx-aligned, so the window
-    runs inside each range partition; the global-window fallback is the
-    single-consumer semantic the reference uses.
+    the DML frames that follow it, inside deterministic LSN stripes
+    with a cross-stripe Begin-carry map.
 
 TRUNCATE fans out one action per relation id (``parser.go:212-225``).
 """
@@ -29,8 +34,8 @@ from __future__ import annotations
 
 import struct
 from collections.abc import Iterator
-from datetime import datetime, timezone
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window
@@ -40,6 +45,10 @@ from pyspark.sql import types as T
 from ..trace.framing import PG_EPOCH_UNIX_S
 from .registry import RelationRegistry
 
+# positional tuple cells as parallel arrays: tags[i] in 't'/'n'/'u'
+# (text / SQL NULL / TOAST-unchanged — parser.go:325-344), vals[i] the
+# text for 't' cells else NULL. Parallel arrays (not structs) keep the
+# Python-side materialization to two flat lists per frame.
 DECODED_SCHEMA = T.StructType(
     [
         T.StructField("lsn", T.LongType(), False),
@@ -63,34 +72,28 @@ DECODED_SCHEMA = T.StructType(
             ),
             True,
         ),
-        T.StructField(
-            "old_cells",
-            T.ArrayType(
-                T.StructType(
-                    [
-                        T.StructField("tag", T.StringType(), False),
-                        T.StructField("value", T.StringType(), True),
-                    ]
-                )
-            ),
-            True,
-        ),
-        T.StructField(
-            "new_cells",
-            T.ArrayType(
-                T.StructType(
-                    [
-                        T.StructField("tag", T.StringType(), False),
-                        T.StructField("value", T.StringType(), True),
-                    ]
-                )
-            ),
-            True,
-        ),
+        T.StructField("old_cell_tags", T.ArrayType(T.StringType()), True),
+        T.StructField("old_cell_vals", T.ArrayType(T.StringType()), True),
+        T.StructField("new_cell_tags", T.ArrayType(T.StringType()), True),
+        T.StructField("new_cell_vals", T.ArrayType(T.StringType()), True),
         T.StructField("truncate_rel_ids", T.ArrayType(T.IntegerType()), True),
         T.StructField("truncate_opts", T.IntegerType(), True),
     ]
 )
+
+_COLS = [f.name for f in DECODED_SCHEMA.fields]
+_PG_EPOCH_US = PG_EPOCH_UNIX_S * 1_000_000
+_NAT_I64 = np.iinfo(np.int64).min
+_TAG_CHR = ["?"] * 256
+for _t in (0x74, 0x6E, 0x75):  # t / n / u
+    _TAG_CHR[_t] = chr(_t)
+
+
+# --------------------------------------------------------------------------
+# golden reference: one frame at a time, plain struct.unpack
+# (byte-layout parity with parser.go:178-344; pinned to the batch
+# decoder by tests/test_decode.py::test_vectorized_matches_reference)
+# --------------------------------------------------------------------------
 
 
 def _read_cstr(buf: memoryview, pos: int) -> tuple[str, int]:
@@ -100,41 +103,41 @@ def _read_cstr(buf: memoryview, pos: int) -> tuple[str, int]:
     return bytes(buf[pos:end]).decode(), end + 1
 
 
-def _read_tuple(buf: memoryview, pos: int) -> tuple[list[tuple[str, str | None]], int]:
+def _read_tuple(
+    buf: memoryview, pos: int
+) -> tuple[list[str], list[str | None], int]:
     (n,) = struct.unpack_from(">h", buf, pos)
     pos += 2
-    cells: list[tuple[str, str | None]] = []
+    tags: list[str] = []
+    vals: list[str | None] = []
     for _ in range(n):
         tag = chr(buf[pos])
         pos += 1
         if tag == "t":
             (ln,) = struct.unpack_from(">i", buf, pos)
             pos += 4
-            cells.append(("t", bytes(buf[pos : pos + ln]).decode()))
+            tags.append("t")
+            vals.append(bytes(buf[pos : pos + ln]).decode())
             pos += ln
-        elif tag == "n":
-            cells.append(("n", None))
-        elif tag == "u":
-            cells.append(("u", None))
+        elif tag in ("n", "u"):
+            tags.append(tag)
+            vals.append(None)
         else:  # corrupt cell: permissive skip (reference logs + continues)
-            cells.append(("?", None))
-    return cells, pos
+            tags.append("?")
+            vals.append(None)
+    return tags, vals, pos
 
 
-def _pg_ts(us: int) -> datetime:
-    return datetime.fromtimestamp(us / 1_000_000 + PG_EPOCH_UNIX_S, tz=timezone.utc)
+def _pg_ts(us: int):
+    return pd.Timestamp(us + _PG_EPOCH_US, unit="us", tz="UTC")
 
 
 def _decode_one(lsn: int, frame: bytes) -> dict | None:
     buf = memoryview(frame)
     op = chr(buf[0])
     pos = 1
-    row = {
-        "lsn": lsn, "op": op, "xid": None, "rel_id": None, "commit_ts": None,
-        "schema_name": None, "table_name": None, "rel_columns": None,
-        "old_cells": None, "new_cells": None,
-        "truncate_rel_ids": None, "truncate_opts": None,
-    }
+    row = dict.fromkeys(_COLS)
+    row.update(lsn=lsn, op=op)
     if op == "B":  # parser.go:178-184
         # payload LSN (tx begin LSN) is kept implicitly: the envelope
         # WalStart is the stream position and orders the stream; the
@@ -163,27 +166,25 @@ def _decode_one(lsn: int, frame: bytes) -> dict | None:
         row.update(rel_id=rel_id, schema_name=ns, table_name=name, rel_columns=cols)
     elif op == "I":  # parser.go:195-201
         (rel_id,) = struct.unpack_from(">i", buf, pos)
-        pos += 4
-        pos += 1  # 'N' marker
-        cells, pos = _read_tuple(buf, pos)
-        row.update(rel_id=rel_id, new_cells=cells)
+        pos += 5  # rel_id + 'N' marker
+        tags, vals, pos = _read_tuple(buf, pos)
+        row.update(rel_id=rel_id, new_cell_tags=tags, new_cell_vals=vals)
     elif op == "U":  # parser.go:227-241
         (rel_id,) = struct.unpack_from(">i", buf, pos)
         pos += 4
         row["rel_id"] = rel_id
         if chr(buf[pos]) in ("K", "O"):
             pos += 1
-            old, pos = _read_tuple(buf, pos)
-            row["old_cells"] = old
+            otags, ovals, pos = _read_tuple(buf, pos)
+            row.update(old_cell_tags=otags, old_cell_vals=ovals)
         pos += 1  # 'N'
-        cells, pos = _read_tuple(buf, pos)
-        row["new_cells"] = cells
+        tags, vals, pos = _read_tuple(buf, pos)
+        row.update(new_cell_tags=tags, new_cell_vals=vals)
     elif op == "D":  # parser.go:203-210
         (rel_id,) = struct.unpack_from(">i", buf, pos)
-        pos += 4
-        pos += 1  # 'K' or 'O'
-        old, pos = _read_tuple(buf, pos)
-        row.update(rel_id=rel_id, old_cells=old)
+        pos += 5  # rel_id + 'K' or 'O'
+        otags, ovals, pos = _read_tuple(buf, pos)
+        row.update(rel_id=rel_id, old_cell_tags=otags, old_cell_vals=ovals)
     elif op == "T":  # parser.go:212-225
         nrels, opt = struct.unpack_from(">ib", buf, pos)
         pos += 5
@@ -196,27 +197,244 @@ def _decode_one(lsn: int, frame: bytes) -> dict | None:
     return row
 
 
+# --------------------------------------------------------------------------
+# batch numpy decoder — the hot path
+# --------------------------------------------------------------------------
+
+
+def _be_unsigned(buf: np.ndarray, pos: np.ndarray, width: int) -> np.ndarray:
+    """Big-endian unsigned ints gathered at arbitrary byte offsets.
+    The numpy form of the reference's readInt*/binary.BigEndian reads
+    (parser.go:253-307), vectorized across frames."""
+    idx = pos[:, None] + np.arange(width, dtype=np.int64)[None, :]
+    b = buf[idx].astype(np.int64)
+    out = np.zeros(len(pos), dtype=np.int64)
+    for j in range(width):
+        out = (out << 8) | b[:, j]
+    return out
+
+
+def _be_signed(buf: np.ndarray, pos: np.ndarray, width: int) -> np.ndarray:
+    v = _be_unsigned(buf, pos, width)
+    if width < 8:
+        bits = 8 * width
+        v = v - ((v >> (bits - 1)) << bits)
+    return v  # width 8: int64 shifts already wrap to two's complement
+
+
+def _scan_tuples(buf: np.ndarray, raw: bytes, pos: np.ndarray):
+    """Vectorized TupleData scan (parser.go:325-344) over many frames at
+    once: one pass per cell *slot* moves every active frame's cursor,
+    recording tag byte + value byte-span. Returns (tags, vals, end_pos)
+    where tags/vals are per-frame Python lists (the final object
+    materialization) and end_pos the cursor after each tuple."""
+    m = len(pos)
+    if m == 0:
+        return [], [], pos
+    ncols = _be_signed(buf, pos, 2)
+    p = pos + 2
+    maxc = int(ncols.max())
+    # flat frame-major cell arrays (no padded 2-D matrices — their
+    # tolist() would dominate): cell j of frame i lives at off[i] + j
+    off = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(ncols, out=off[1:])
+    total = int(off[-1])
+    flat_tag = np.zeros(total, dtype=np.uint8)
+    flat_vs = np.zeros(total, dtype=np.int64)
+    flat_ve = np.zeros(total, dtype=np.int64)
+    for c in range(maxc):
+        act = np.nonzero(ncols > c)[0]
+        tp = p[act]
+        t = buf[tp]
+        slot = off[act] + c
+        flat_tag[slot] = t
+        is_t = t == 0x74  # 't'
+        ln = np.zeros(len(act), dtype=np.int64)
+        if is_t.any():
+            ln[is_t] = _be_signed(buf, tp[is_t] + 1, 4)
+        vs = tp + 5
+        flat_vs[slot] = vs
+        flat_ve[slot] = vs + ln
+        p[act] = tp + np.where(is_t, 5 + ln, 1)
+    # materialize via plain Python lists — per-element numpy indexing
+    # costs ~10x a list index and would dominate this loop
+    ft = flat_tag.tolist()
+    fs = flat_vs.tolist()
+    fe = flat_ve.tolist()
+    offs = off.tolist()
+    tags_out: list[list[str]] = []
+    vals_out: list[list[str | None]] = []
+    tchr = _TAG_CHR
+    for i in range(m):
+        a, b = offs[i], offs[i + 1]
+        tags_out.append([tchr[t] for t in ft[a:b]])
+        vals_out.append(
+            [
+                raw[fs[j] : fe[j]].decode() if ft[j] == 0x74 else None
+                for j in range(a, b)
+            ]
+        )
+    return tags_out, vals_out, p
+
+
+def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    frames = pdf["frame"].tolist()
+    n = len(frames)
+    if n == 0:
+        return pd.DataFrame(columns=_COLS)
+    lsn = pdf["lsn"].to_numpy(np.int64, copy=True)
+    raw = b"".join(bytes(f) for f in frames)
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    lens = np.fromiter((len(f) for f in frames), dtype=np.int64, count=n)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    ops_b = buf[starts]
+
+    op = np.full(n, None, dtype=object)
+    xid = np.full(n, None, dtype=object)
+    rel_id = np.full(n, None, dtype=object)
+    ts_i64 = np.full(n, _NAT_I64, dtype=np.int64)
+    schema_name = np.full(n, None, dtype=object)
+    table_name = np.full(n, None, dtype=object)
+    rel_columns = np.full(n, None, dtype=object)
+    old_tags = np.full(n, None, dtype=object)
+    old_vals = np.full(n, None, dtype=object)
+    new_tags = np.full(n, None, dtype=object)
+    new_vals = np.full(n, None, dtype=object)
+    tr_ids = np.full(n, None, dtype=object)
+    tr_opts = np.full(n, None, dtype=object)
+    keep = np.zeros(n, dtype=bool)
+
+    def _fill_cells(idx, tags_arr, vals_arr, tags, vals):
+        for j, i in enumerate(idx):
+            tags_arr[i] = tags[j]
+            vals_arr[i] = vals[j]
+
+    ib = np.nonzero(ops_b == 0x42)[0]  # 'B'
+    if len(ib):
+        op[ib], keep[ib] = "B", True
+        ts_i64[ib] = _be_signed(buf, starts[ib] + 9, 8) + _PG_EPOCH_US
+        xid[ib] = _be_signed(buf, starts[ib] + 17, 4).tolist()
+
+    ic = np.nonzero(ops_b == 0x43)[0]  # 'C'
+    if len(ic):
+        op[ic], keep[ic] = "C", True
+        ts_i64[ic] = _be_signed(buf, starts[ic] + 18, 8) + _PG_EPOCH_US
+
+    ii = np.nonzero(ops_b == 0x49)[0]  # 'I'
+    if len(ii):
+        op[ii], keep[ii] = "I", True
+        rel_id[ii] = _be_signed(buf, starts[ii] + 1, 4).tolist()
+        tags, vals, _ = _scan_tuples(buf, raw, starts[ii] + 6)
+        _fill_cells(ii, new_tags, new_vals, tags, vals)
+
+    iu = np.nonzero(ops_b == 0x55)[0]  # 'U'
+    if len(iu):
+        op[iu], keep[iu] = "U", True
+        rel_id[iu] = _be_signed(buf, starts[iu] + 1, 4).tolist()
+        marker = buf[starts[iu] + 5]
+        has_old = (marker == 0x4B) | (marker == 0x4F)  # 'K' | 'O'
+        new_pos = starts[iu] + 6
+        oi = np.nonzero(has_old)[0]
+        if len(oi):
+            otags, ovals, oend = _scan_tuples(buf, raw, starts[iu[oi]] + 6)
+            _fill_cells(iu[oi], old_tags, old_vals, otags, ovals)
+            new_pos[oi] = oend + 1  # skip the 'N' marker
+        tags, vals, _ = _scan_tuples(buf, raw, new_pos)
+        _fill_cells(iu, new_tags, new_vals, tags, vals)
+
+    idl = np.nonzero(ops_b == 0x44)[0]  # 'D'
+    if len(idl):
+        op[idl], keep[idl] = "D", True
+        rel_id[idl] = _be_signed(buf, starts[idl] + 1, 4).tolist()
+        tags, vals, _ = _scan_tuples(buf, raw, starts[idl] + 6)
+        _fill_cells(idl, old_tags, old_vals, tags, vals)
+
+    it = np.nonzero(ops_b == 0x54)[0]  # 'T' — rare; per-frame loop is fine
+    for i in it:
+        s = int(starts[i])
+        nrels, opt = struct.unpack_from(">ib", raw, s + 1)
+        tr_ids[i] = list(struct.unpack_from(f">{nrels}i", raw, s + 6))
+        tr_opts[i] = int(opt)
+        op[i], keep[i] = "T", True
+
+    ir = np.nonzero(ops_b == 0x52)[0]  # 'R' — rare; golden path
+    for i in ir:
+        row = _decode_one(int(lsn[i]), frames[i])
+        op[i], keep[i] = "R", True
+        rel_id[i] = row["rel_id"]
+        schema_name[i] = row["schema_name"]
+        table_name[i] = row["table_name"]
+        rel_columns[i] = row["rel_columns"]
+
+    for code, name in ((0x4F, "O"), (0x59, "Y")):  # ignored kinds
+        ix = np.nonzero(ops_b == code)[0]
+        if len(ix):
+            op[ix], keep[ix] = name, True
+
+    ts = pd.Series(ts_i64.view("datetime64[us]"), copy=False).dt.tz_localize(
+        "UTC"
+    )
+    out = pd.DataFrame(
+        {
+            "lsn": lsn,
+            "op": op,
+            "xid": xid,
+            "rel_id": rel_id,
+            "commit_ts": ts,
+            "schema_name": schema_name,
+            "table_name": table_name,
+            "rel_columns": rel_columns,
+            "old_cell_tags": old_tags,
+            "old_cell_vals": old_vals,
+            "new_cell_tags": new_tags,
+            "new_cell_vals": new_vals,
+            "truncate_rel_ids": tr_ids,
+            "truncate_opts": tr_opts,
+        }
+    )
+    if not keep.all():
+        out = out[keep]
+    return out
+
+
 def decode_frames(frames: DataFrame) -> DataFrame:
-    """(lsn long, frame binary) -> DECODED_SCHEMA rows, Arrow-batched."""
+    """(lsn long, frame binary) -> DECODED_SCHEMA rows; Arrow-batched,
+    batch-numpy structural decode (see module docstring)."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in DECODED_SCHEMA.fields]
+        for pdf in batches:
+            yield _decode_batch(pdf)
+
+    return frames.select("lsn", "frame").mapInPandas(_decode, DECODED_SCHEMA)
+
+
+def decode_frames_reference(frames: DataFrame) -> DataFrame:
+    """Per-frame golden decoder behind the same DataFrame surface — the
+    parity baseline for tests; never the hot path."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for lsn, frame in zip(pdf["lsn"].values, pdf["frame"].values):
                 row = _decode_one(int(lsn), bytes(frame))
                 if row is not None:
                     out.append(row)
-            yield pd.DataFrame(out, columns=cols)
+            yield pd.DataFrame(out, columns=_COLS)
 
     return frames.select("lsn", "frame").mapInPandas(_decode, DECODED_SCHEMA)
 
 
-def _cells_to_map(zipped_col, names_field: str, cells_field: str):
+# --------------------------------------------------------------------------
+# name resolution + tx assignment (pure Catalyst)
+# --------------------------------------------------------------------------
+
+
+def _cells_to_map(zipped_col, names_field: str, tags_field: str, vals_field: str):
     entries = F.transform(
-        F.filter(zipped_col, lambda x: x[cells_field]["tag"].isin("t", "n")),
+        F.filter(zipped_col, lambda x: x[tags_field].isin("t", "n")),
         lambda x: F.struct(
-            x[names_field].alias("key"), x[cells_field]["value"].alias("value")
+            x[names_field].alias("key"), x[vals_field].alias("value")
         ),
     )
     return F.map_from_entries(entries)
@@ -245,7 +463,7 @@ def resolve_names(decoded: DataFrame, registry: RelationRegistry) -> DataFrame:
 
     d = decoded.withColumn(
         "arity",
-        F.coalesce(F.size("new_cells"), F.size("old_cells")).cast("int"),
+        F.coalesce(F.size("new_cell_tags"), F.size("old_cell_tags")).cast("int"),
     )
     joined = d.join(
         F.broadcast(vdf),
@@ -253,20 +471,25 @@ def resolve_names(decoded: DataFrame, registry: RelationRegistry) -> DataFrame:
         "left",
     )
 
-    new_zip = F.arrays_zip(F.col("col_names"), F.col("new_cells"))
-    old_zip = F.arrays_zip(F.col("col_names"), F.col("old_cells"))
+    new_zip = F.arrays_zip(
+        F.col("col_names"), F.col("new_cell_tags"), F.col("new_cell_vals")
+    )
+    old_zip = F.arrays_zip(
+        F.col("col_names"), F.col("old_cell_tags"), F.col("old_cell_vals")
+    )
+    has_names = F.col("col_names").isNotNull()
     new_vals = F.when(
-        F.col("new_cells").isNotNull() & F.col("col_names").isNotNull(),
-        _cells_to_map(new_zip, "col_names", "new_cells"),
+        F.col("new_cell_tags").isNotNull() & has_names,
+        _cells_to_map(new_zip, "col_names", "new_cell_tags", "new_cell_vals"),
     )
     old_vals = F.when(
-        F.col("old_cells").isNotNull() & F.col("col_names").isNotNull(),
-        _cells_to_map(old_zip, "col_names", "old_cells"),
+        F.col("old_cell_tags").isNotNull() & has_names,
+        _cells_to_map(old_zip, "col_names", "old_cell_tags", "old_cell_vals"),
     )
     toast_cols = F.when(
-        F.col("new_cells").isNotNull() & F.col("col_names").isNotNull(),
+        F.col("new_cell_tags").isNotNull() & has_names,
         F.transform(
-            F.filter(new_zip, lambda x: x["new_cells"]["tag"] == "u"),
+            F.filter(new_zip, lambda x: x["new_cell_tags"] == "u"),
             lambda x: x["col_names"],
         ),
     )
@@ -337,7 +560,11 @@ def assign_tx(
         # strictly-earlier stripe (tiny pushed-down agg over B rows only)
         lastb = (
             columnar.filter(F.col("op") == "B")
-            .groupBy(F.floor((F.col("lsn") - F.lit(lo)) / F.lit(width)).cast("int").alias("__rid"))
+            .groupBy(
+                F.floor((F.col("lsn") - F.lit(lo)) / F.lit(width))
+                .cast("int")
+                .alias("__rid")
+            )
             .agg(F.max(F.struct(F.col("lsn"), F.col("tx_id"))).alias("lb"))
             .collect()
         )
