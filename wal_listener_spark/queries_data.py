@@ -18,6 +18,24 @@ from .functions import dedup, multimodal, similarity, text as textfn
 NEAR_TAIL = " zz extra pad"
 ANN_QUERY_IDS = list(range(8))
 ANN_K = 5
+ANN_LSH_BITS = 6
+EMB_DIM = 64  # driver testdata embeddings are 64-dim (TESTDATA.md)
+
+
+def _lsh_plane_weights(bits: int = ANN_LSH_BITS, dim: int = EMB_DIM):
+    """The SAME deterministic hyperplane weights similarity.
+    hyperplane_bucket derives in Catalyst (md5-hex prefix minus 32768),
+    computed here with hashlib so the DuckDB oracle can inline them as
+    literals — the closed form of the Spark expression."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:4], 16) - 32768
+            for i in range(dim)
+        ]
+        for p in range(bits)
+    ]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,8 +101,11 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed approximate variant (scale path) — rows-only check."""
-    return similarity.lsh_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
+    """LSH-bucketed approximate variant (scale path); fully oracled —
+    the hyperplanes are deterministic md5 functions DuckDB reproduces."""
+    return similarity.lsh_topk(
+        _emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K, bits=ANN_LSH_BITS
+    )
 
 
 def q_text_token_count(spark, sf_dir):
@@ -180,6 +201,35 @@ def _simhash_sql() -> str:
 _STOPLIST = ", ".join(f"'{s}'" for s in textfn.STOPWORDS)
 
 
+def _ann_lsh_oracle_sql() -> str:
+    """DuckDB twin of similarity.lsh_topk: identical hyperplane bucket
+    (weights inlined as literals — see _lsh_plane_weights), identical
+    cosine/rank/floor formulation as the brute-force oracle, restricted
+    to the query's own bucket."""
+    weights = _lsh_plane_weights()
+    sign_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {w}::DOUBLE[]) > 0 THEN {1 << p} ELSE 0 END)"
+        for p, w in enumerate(weights)
+    )
+    ids = ", ".join(map(str, ANN_QUERY_IDS))
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bk AS (SELECT vec_id, v, ({sign_terms})::BIGINT AS bucket FROM base),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM bk
+      WHERE vec_id IN ({ids})),
+s AS (
+  SELECT query_id, b.vec_id AS neighbor_id,
+         list_dot_product(qv, v) /
+         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+  FROM q JOIN bk b ON b.bucket = qbucket AND b.vec_id <> query_id
+)
+SELECT query_id, neighbor_id,
+       (row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id))::INT AS rank,
+       floor(cos*10000)::BIGINT AS cos_milli
+FROM s
+QUALIFY rank <= {ANN_K}"""
+
+
 def data_oracle_sql() -> dict[str, str]:
     n_bands = dedup.NUM_HASHES // dedup.BAND_ROWS
     return {
@@ -272,12 +322,11 @@ WITH tok AS (
 SELECT doc_id,
   ((hits*1000)//n + least(n, 200) - (punct*1000)//nc)::BIGINT AS quality_m
 FROM m""",
+        "ann_lsh_topk": _ann_lsh_oracle_sql(),
         "text_fingerprint": f"""
 SELECT doc_id, {_FP} AS fp FROM documents""",
         "mm_decode_meta": """
 SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
        sha256(text) AS payload_sha, 'text' AS modality
 FROM documents""",
-        # ann_lsh_topk intentionally has no oracle: approximate op,
-        # driver records the weaker rows-only check
     }
