@@ -35,8 +35,11 @@ def _cast_one(spark, text, oid):
             "600F37ED-1D88-4262-8BE4-C3360E833F50",
             "600f37ed-1d88-4262-8be4-c3360e833f50",  # data.go:92-93 canonical
         ),
-        (casts.JSONB_OID, '{"a": 1}', '{"a": 1}'),  # raw JSON text kept
-        (casts.JSONB_OID, '["a","b"]', '["a","b"]'),
+        # unmarshal/remarshal normalization: minified, keys sorted
+        # (Go-map-marshal parity, data.go:94-104)
+        (casts.JSONB_OID, '{"b": 1, "a": [true, null]}', '{"a":[true,null],"b":1}'),
+        (casts.JSONB_OID, '["a", "b"]', '["a","b"]'),
+        (casts.JSONB_OID, "not json{", None),  # permissive decode -> NULL
         (9999, "unknown-oid-value", "unknown-oid-value"),  # data.go:105-113
     ],
 )

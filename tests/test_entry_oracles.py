@@ -27,11 +27,18 @@ def ddb():
 
 
 def _norm(v):
+    """Totally-ordered normalization (NULLs sort below everything and
+    never compare against other types — mixed None/int columns are
+    legitimate, e.g. permissive-cast NULLs)."""
+    if v is None:
+        return (0, "")
     if isinstance(v, bool):
-        return v
+        return (1, v)
     if isinstance(v, float):
-        return round(v, 6)
-    return v
+        return (2, round(v, 6))
+    if isinstance(v, int):
+        return (2, v)
+    return (3, str(v))
 
 
 def _rows_to_multiset(cols, rows):

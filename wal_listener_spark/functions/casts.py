@@ -13,9 +13,14 @@ Parity decisions (SURVEY.md §1.2):
  - date (1082) / time (1083) stay strings, as the reference keeps them
    (``data.go:90-91``).
  - uuid (2950) normalizes to lower-case canonical text.
- - jsonb (3802) stays the raw JSON text; the reference unmarshals then
-   re-marshals through Go maps, we keep the wire text (values compare
-   equal under the driver's normalization for our fixtures).
+ - jsonb (3802) NORMALIZES: ``to_json(try_parse_json(x))`` — parse to
+   the VARIANT type, re-serialize minified with object keys sorted.
+   That is byte-for-byte what the reference does (``data.go:94-104``
+   unmarshals into Go maps and later re-marshals; Go map JSON encoding
+   sorts keys). Malformed JSON -> NULL (the reference logs the
+   unmarshal error and keeps the zero value). Caveat vs the wire text:
+   number formatting follows the parser (e.g. ``1.50`` -> ``1.5``), as
+   it does in Go.
  - unknown OIDs fall through to string (``data.go:105-113``).
  - parse failures yield NULL (Spark cast semantics) rather than aborting
    the stream; the reference logs and keeps a zero value
@@ -83,5 +88,9 @@ def cast_text_value(col: Column, oid: int) -> Column:
     if oid == UUID_OID:
         # uuid.Parse canonicalizes case (data.go:92-93)
         return F.lower(col)
-    # text/varchar/date/time/jsonb/unknown -> string passthrough
+    if oid == JSONB_OID:
+        # unmarshal/remarshal normalization (data.go:94-104): minified,
+        # object keys sorted — Go-map-marshal parity (module docstring)
+        return F.to_json(F.try_parse_json(col))
+    # text/varchar/date/time/unknown -> string passthrough
     return col

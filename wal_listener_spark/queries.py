@@ -296,27 +296,63 @@ def q_cdc_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cdc_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OID cast matrix applied to deterministic text cells (T2)."""
+    """Full-width OID cast matrix (T2) — every OID in the reference's
+    AssertValue dispatch (data.go:59-125, pg_type.go:5-21): bool, int2
+    (with an out-of-range permissive-NULL case), int4, int8, text,
+    varchar, timestamp (NTZ layout data.go:86-87), timestamptz, date +
+    time (kept as strings, data.go:90-91), uuid (case-canonicalized),
+    jsonb (unmarshal/remarshal normalization incl. malformed -> NULL,
+    data.go:94-104), and unknown-OID string fallthrough."""
     from .functions import casts
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    j_raw = F.when(did % 7 == 0, F.lit("not json{")).otherwise(
+        F.concat(
+            F.lit('{"a": ['),
+            did.cast("string"),
+            F.lit(', true, null], "z": "v'),
+            did.cast("string"),
+            F.lit('"}'),
+        )
+    )
     d = docs.select(
         "doc_id",
-        F.when(F.col("doc_id") % 2 == 0, F.lit("t")).otherwise(F.lit("f")).alias("b"),
+        F.when(did % 2 == 0, F.lit("t")).otherwise(F.lit("f")).alias("b"),
+        F.when(did % 13 == 0, F.lit("99999"))
+        .otherwise((did % 1000 - 500).cast("string"))
+        .alias("i2"),
         F.col("n_chars").cast("string").alias("i"),
-        (F.col("doc_id") * 1000000007).cast("string").alias("l"),
+        (did * 1000000007).cast("string").alias("l"),
+        F.concat(F.lit("txt-"), did.cast("string")).alias("txt"),
+        F.concat(F.lit("vc-"), did.cast("string")).alias("vc"),
+        F.lit("2022-08-27 17:44:58").alias("ts"),
         F.lit("2022-08-27 17:44:58+02").alias("tz"),
+        F.lit("2022-08-27").alias("dt"),
+        F.lit("17:44:58").alias("tm"),
         F.upper(F.md5(F.col("text"))).alias("u"),
+        j_raw.alias("j"),
+        F.lit("(1,2)").alias("pt"),
     )
     return d.select(
         "doc_id",
         casts.cast_text_value(F.col("b"), casts.BOOL_OID).alias("as_bool"),
+        casts.cast_text_value(F.col("i2"), casts.INT2_OID).alias("as_i2"),
         casts.cast_text_value(F.col("i"), casts.INT4_OID).alias("as_int"),
         casts.cast_text_value(F.col("l"), casts.INT8_OID).alias("as_long"),
+        casts.cast_text_value(F.col("txt"), casts.TEXT_OID).alias("as_text"),
+        casts.cast_text_value(F.col("vc"), casts.VARCHAR_OID).alias("as_varchar"),
+        casts.cast_text_value(F.col("ts"), casts.TIMESTAMP_OID)
+        .cast("string")
+        .alias("ts_ntz_str"),
         F.unix_timestamp(
             casts.cast_text_value(F.col("tz"), casts.TIMESTAMPTZ_OID)
         ).alias("tz_epoch"),
+        casts.cast_text_value(F.col("dt"), casts.DATE_OID).alias("as_date"),
+        casts.cast_text_value(F.col("tm"), casts.TIME_OID).alias("as_time"),
         casts.cast_text_value(F.col("u"), casts.UUID_OID).alias("as_uuid"),
+        casts.cast_text_value(F.col("j"), casts.JSONB_OID).alias("as_jsonb"),
+        casts.cast_text_value(F.col("pt"), 600).alias("as_unknown"),
     )
 
 
@@ -410,10 +446,21 @@ SELECT 'e1',
         "cdc_cast_matrix": """
 SELECT doc_id,
   CAST(CASE WHEN doc_id%2=0 THEN 't' ELSE 'f' END AS BOOLEAN) AS as_bool,
+  TRY_CAST(CASE WHEN doc_id%13=0 THEN '99999'
+                ELSE (doc_id%1000 - 500)::VARCHAR END AS SMALLINT) AS as_i2,
   n_chars::INT AS as_int,
   (doc_id * 1000000007)::BIGINT AS as_long,
+  'txt-'||doc_id AS as_text,
+  'vc-'||doc_id AS as_varchar,
+  CAST('2022-08-27 17:44:58' AS TIMESTAMP)::VARCHAR AS ts_ntz_str,
   epoch(CAST('2022-08-27 17:44:58+02' AS TIMESTAMPTZ))::BIGINT AS tz_epoch,
-  lower(upper(md5(text))) AS as_uuid
+  '2022-08-27' AS as_date,
+  '17:44:58' AS as_time,
+  lower(upper(md5(text))) AS as_uuid,
+  CASE WHEN doc_id%7=0 THEN NULL
+       ELSE json('{"a": ['||doc_id||', true, null], "z": "v'||doc_id||'"}')::VARCHAR
+  END AS as_jsonb,
+  '(1,2)' AS as_unknown
 FROM documents""",
     }
     return base
