@@ -133,7 +133,58 @@ def test_lineage_records_per_commit(spark, tmp_path):
     tb = _mk(spark, tmp_path)
     tb.merge_batch(_changes(spark, [("r1", "a.py", "c1", "py", "x", 10, "I")]), "b0", 10)
     tb.merge_batch(_changes(spark, [("r1", "a.py", None, None, None, 20, "D")]), "b1", 20)
-    lin = tb.manifest["lineage"]
+    lin = tb.lineage()
     assert [e["batch_key"] for e in lin] == ["b0", "b1"]
     assert lin[0]["upserts"] == 1 and lin[1]["deletes"] == 1
     assert all("buckets_rewritten" in e for e in lin)
+
+
+def test_manifest_stays_bounded_over_many_epochs(spark, tmp_path):
+    """50+ epoch replay: committed_batches stays within the retention
+    window, the manifest JSON does not grow O(epochs), and the full
+    lineage stays queryable from the side file."""
+    import os
+
+    from wal_listener_spark.lake import table as table_mod
+    from wal_listener_spark.lake.table import LakeTable
+
+    root = str(tmp_path / "t")
+    tb = LakeTable.create(spark, root, ["k"], [("k", "string"), ("v", "string")], num_buckets=4)
+    n_epochs = table_mod.BATCH_KEY_RETENTION + 10
+    for e in range(n_epochs):
+        chg = spark.createDataFrame(
+            [(f"key{e % 7}", f"v{e}", 100 + e, "U")], "k string, v string, lsn long, op string"
+        )
+        tb = LakeTable.load(spark, root)
+        tb.merge_batch(chg, batch_key=f"e{e}", high_lsn=100 + e)
+
+    tb = LakeTable.load(spark, root)
+    cb = tb.properties["committed_batches"]
+    assert len(cb) == table_mod.BATCH_KEY_RETENTION
+    # the retained keys are the newest (redelivery frontier)
+    assert f"e{n_epochs - 1}" in cb and "e0" not in cb
+    lineage = tb.lineage()
+    assert len(lineage) == n_epochs  # full history preserved
+    assert lineage[-1]["high_lsn"] == 100 + n_epochs - 1
+    # manifest file itself is bounded (no lineage, pruned batch keys)
+    v = tb.manifest["version"]
+    size = os.path.getsize(os.path.join(root, "manifest", f"v{v}.json"))
+    assert size < 20_000, f"manifest grew to {size}B"
+    # an epoch inside the retention window still no-ops
+    tb = LakeTable.load(spark, root)
+    s = tb.merge_batch(
+        spark.createDataFrame([("key0", "dup", 100, "U")], "k string, v string, lsn long, op string"),
+        batch_key=f"e{n_epochs - 1}", high_lsn=100 + n_epochs - 1,
+    )
+    assert s["noop"] is True
+    # a pruned epoch replays as a row-level no-op (state unchanged)
+    tb = LakeTable.load(spark, root)
+    before = sorted((r["k"], r["v"]) for r in tb.read_public().collect())
+    tb.merge_batch(
+        spark.createDataFrame([("key0", "v0", 100, "U")], "k string, v string, lsn long, op string"),
+        batch_key="e0", high_lsn=100,
+    )
+    after = sorted(
+        (r["k"], r["v"]) for r in LakeTable.load(spark, root).read_public().collect()
+    )
+    assert before == after

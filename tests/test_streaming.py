@@ -74,7 +74,7 @@ def test_kill_and_resume_exactly_once(spark, trace_on_disk, tmp_path):
     assert all(got[k]["content"] == expected[k].get("content") for k in expected)
     # lineage shows each epoch exactly once per table
     tb = LakeTable.load(spark, table_root)
-    keys = [e["batch_key"] for e in tb.manifest["lineage"]]
+    keys = [e["batch_key"] for e in tb.lineage()]
     assert len(keys) == len(set(keys))
 
 

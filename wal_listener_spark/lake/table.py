@@ -46,6 +46,13 @@ LSN_COL = "__lsn"
 BUCKET_COL = "__bucket"
 DELETED_COL = "__deleted"
 
+#: committed-batch keys retained in the manifest. The epoch no-op guard
+#: only needs the redelivery frontier (foreachBatch re-delivers the last
+#: uncommitted epoch); anything older that replays is absorbed row-level
+#: by the per-key LSN guard + tombstones, so pruning is safe — it trades
+#: a manifest rewrite that would grow O(epochs) for a bounded one.
+BATCH_KEY_RETENTION = 64
+
 
 def _bucket_expr(key_cols: list[str], num_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets))
@@ -84,7 +91,6 @@ class LakeTable:
                 "committed_batches": {},
                 "registry": [],
             },
-            "lineage": [],
         }
         t = cls(spark, root, manifest)
         t._commit_manifest()
@@ -354,11 +360,16 @@ class LakeTable:
             props["truncate_lsn"] = eff_trunc
         cb = dict(props.get("committed_batches", {}))
         cb[batch_key] = high_lsn
+        if len(cb) > BATCH_KEY_RETENTION:
+            keep = sorted(cb, key=lambda k: cb[k], reverse=True)[
+                :BATCH_KEY_RETENTION
+            ]
+            cb = {k: cb[k] for k in keep}
         props["committed_batches"] = cb
         if registry_json is not None:
             props["registry"] = registry_json
-        self.manifest["lineage"].append(stats)
         self._commit_manifest()
+        self._append_lineage(stats)
         return stats
 
     # --------------------------------------------------------- maintenance
@@ -409,8 +420,8 @@ class LakeTable:
             "snapshot_version": new_version,
             "buckets_rewritten": sorted(int(b) for b in new_buckets),
         }
-        self.manifest["lineage"].append(stats)
         self._commit_manifest()
+        self._append_lineage(stats)
         return stats
 
     def expire_snapshots(self, keep_last: int = 2) -> dict:
@@ -452,6 +463,25 @@ class LakeTable:
             "removed_manifests": removed_manifests,
             "removed_data_dirs": removed_dirs,
         }
+
+    # ------------------------------------------------------------- lineage
+    def _append_lineage(self, stats: dict) -> None:
+        """Per-commit lineage rolls to an append-only side file (one JSON
+        line per commit) instead of growing the manifest: the manifest
+        rewrite stays O(buckets) on a 10^5-epoch replay, and the lineage
+        stays queryable (``spark.read.json`` on a cluster). Written after
+        the snapshot commit — a crash between the two loses at most the
+        newest observability line, never table state."""
+        with open(os.path.join(self.root, "lineage.jsonl"), "a") as f:
+            f.write(json.dumps(stats) + "\n")
+
+    def lineage(self) -> list[dict]:
+        entries = list(self.manifest.get("lineage", []))  # legacy manifests
+        p = os.path.join(self.root, "lineage.jsonl")
+        if os.path.exists(p):
+            with open(p) as f:
+                entries.extend(json.loads(line) for line in f if line.strip())
+        return entries
 
     # -------------------------------------------------------------- commit
     def _commit_manifest(self) -> None:

@@ -288,7 +288,7 @@ def q_cdc_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = LakeTable.load(spark, root)
     rows = [
         (e["batch_key"].split(":")[0], e["upserts"], e["deletes"])
-        for e in table.manifest["lineage"]
+        for e in table.lineage()
     ]
     return spark.createDataFrame(
         rows, "epoch string, upserts bigint, deletes bigint"
