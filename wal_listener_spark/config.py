@@ -23,6 +23,11 @@ class PipelineConfig:
     num_buckets: int = 32
     #: skew salt for per-repo aggregations
     salt_buckets: int = 32
+    #: True (incremental epochs): stats pre-pass + touched-bucket-only
+    #: merge. False (wide batches: full replay/backfill): single-job
+    #: merge over all buckets, counters via observe — lower fixed
+    #: latency per epoch (lake/table.py merge_batch docstring)
+    selective_buckets: bool = True
     #: quarantine instead of fail-stop on integrity violations
     quarantine_uncommitted: bool = True
 

@@ -180,6 +180,7 @@ class LakeTable:
         truncate_lsn: int | None = None,
         coalesce_cols: list[str] | None = None,
         registry_json: list[dict] | None = None,
+        selective: bool = True,
     ) -> dict:
         """Exactly-once MERGE of a compacted change set.
 
@@ -203,6 +204,18 @@ class LakeTable:
         may arrive in any LSN order (distributed file listing makes no
         ordering promise) and the final state still converges to the
         sequential-oracle result.
+
+        ``selective=True`` (incremental epochs): a stats pre-pass
+        materializes the change set once (persist) and collects the
+        touched-bucket set, so the merge reads and rewrites ONLY touched
+        buckets — the point of the layout at 100 TB, where an epoch
+        touches a fraction of keys. ``selective=False`` (wide batches:
+        full replays, backfills, anything touching most buckets): skip
+        the pre-pass entirely — every bucket is read, the change pipeline
+        runs exactly once (no persist barrier, no extra scan), and the
+        upsert/delete counters ride the write job via ``observe``. One
+        job instead of two: the fixed-latency floor per epoch drops,
+        which is what bounds scaling efficiency on bounded replays.
         """
         committed = self.properties.get("committed_batches", {})
         if batch_key in committed:
@@ -223,19 +236,31 @@ class LakeTable:
             chg = chg.filter((F.col("lsn") > F.lit(eff_trunc)) | (F.col("op") == "D"))
         if not prebucketed:
             chg = chg.withColumn(BUCKET_COL, _bucket_expr(key_cols, self.num_buckets))
-        # one materialization of the (expensive) upstream pipeline, reused
-        # by the stats pass and the merge join/write (the cache preserves
-        # the bucket partitioning for the join below)
-        chg = chg.persist()
-        stats_row = chg.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("nd"),
-            F.collect_set(BUCKET_COL).alias("bks"),
-        ).collect()[0]
-        n_changes = stats_row["n"]
-        n_deletes = stats_row["nd"] or 0
-        affected = list(stats_row["bks"])
-        if truncate_lsn is not None:
+        observation = None
+        if selective and truncate_lsn is None:
+            # one materialization of the (expensive) upstream pipeline,
+            # reused by the stats pass and the merge join/write (the
+            # cache preserves the bucket partitioning for the join below)
+            chg = chg.persist()
+            stats_row = chg.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("nd"),
+                F.collect_set(BUCKET_COL).alias("bks"),
+            ).collect()[0]
+            n_changes = stats_row["n"]
+            n_deletes = stats_row["nd"] or 0
+            affected = list(stats_row["bks"])
+        else:
+            # wide batch (or truncate, which rewrites everything anyway):
+            # no pre-pass — counters ride the write job
+            from pyspark.sql import Observation
+
+            observation = Observation(f"merge-{uuid.uuid4().hex}")
+            chg = chg.observe(
+                observation,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("nd"),
+            )
             affected = list(range(self.num_buckets))
 
         target = self.read(affected if affected else []).withColumn(
@@ -340,7 +365,12 @@ class LakeTable:
             buckets.pop(str(b), None)
         buckets.update(new_buckets)
 
-        chg.unpersist()
+        if observation is not None:
+            m = observation.get  # filled by the write job above
+            n_changes = m["n"]
+            n_deletes = m["nd"] or 0
+        else:
+            chg.unpersist()
         stats = {
             "batch_key": batch_key,
             "noop": False,

@@ -90,11 +90,18 @@ def replay_batch(
     # threads), and the scans are pushed-down column-pruned reads.
 
     # Control plane in ONE job: Relation rows (P4, tiny), the high-LSN
-    # watermark, and the per-table truncate barriers all ride a single
-    # narrow aggregate over the batch (each extra Spark job costs seconds
-    # of fixed scheduling/barrier latency that dominates small epochs).
-    ctl = trace.agg(
-        F.max("lsn").alias("high_lsn"),
+    # watermark, the per-table truncate barriers AND the tx-integrity
+    # census (P1/P2/T5) all ride a single narrow scan — a per-tx partial
+    # aggregation re-aggregated to one row. Each extra Spark job costs
+    # seconds of fixed scheduling/barrier latency that dominates small
+    # epochs and caps scaling efficiency on big ones; the scan is
+    # column-pruned (never touches the payload maps).
+    per_tx = trace.groupBy("tx_id").agg(
+        F.max("lsn").alias("hi_lsn"),
+        F.sum(
+            F.when(F.col("op").isin("I", "U", "D"), 1).otherwise(0)
+        ).alias("n_changes"),
+        F.max(F.when(F.col("op") == "C", 1).otherwise(0)).alias("has_commit"),
         F.collect_list(
             F.when(F.col("op") == "T", F.struct("rel_id", "lsn"))
         ).alias("truncs"),
@@ -104,6 +111,17 @@ def replay_batch(
                 F.struct("lsn", "rel_id", "schema_name", "table_name", "rel_columns"),
             )
         ).alias("rels"),
+    )
+    ctl = per_tx.agg(
+        F.max("hi_lsn").alias("high_lsn"),
+        F.flatten(F.collect_list("truncs")).alias("truncs"),
+        F.flatten(F.collect_list("rels")).alias("rels"),
+        F.collect_list(
+            F.when(
+                (F.col("n_changes") > 0) & (F.col("has_commit") == 0),
+                F.struct("tx_id", "n_changes"),
+            )
+        ).alias("bad"),
     ).collect()[0]
 
     registry = RelationRegistry.from_json(table.properties.get("registry"))
@@ -136,20 +154,14 @@ def replay_batch(
 
     # P1/P2/T5: transaction integrity without a payload-wide join. The
     # ErrMessageLost condition (a tx with changes but no Commit —
-    # parser.go:20-23) is found by a NARROW aggregate (map-side combined
-    # tx_id counts) anti-joined with the commit set; the offending tx ids
-    # are then excluded with a broadcast filter. The payload rows never
-    # shuffle on tx_id — the reference's per-tx buffering is an artifact
-    # of its socket loop, not a data dependency of the final state.
-    data_tx = (
-        trace.filter(F.col("op").isin("I", "U", "D"))
-        .groupBy("tx_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    commits = trace.filter(F.col("op") == "C").select("tx_id").distinct()
-    bad_rows = data_tx.join(commits, "tx_id", "left_anti").collect()
+    # parser.go:20-23) came out of the fused control scan above (map-side
+    # combined per-tx counts); the offending tx ids are excluded with a
+    # broadcast filter. The payload rows never shuffle on tx_id — the
+    # reference's per-tx buffering is an artifact of its socket loop,
+    # not a data dependency of the final state.
+    bad_rows = ctl["bad"] or []
     bad_txs = [r["tx_id"] for r in bad_rows]
-    n_quarantined = sum(r["n"] for r in bad_rows)
+    n_quarantined = sum(r["n_changes"] for r in bad_rows)
 
     committed = trace.filter(F.col("op").isin("I", "U", "D", "T"))
     if bad_txs and cfg.quarantine_uncommitted:
@@ -209,6 +221,7 @@ def replay_batch(
             batch_key=f"{batch_key}:{schema.qualified_name}",
             high_lsn=high_lsn,
             truncate_lsn=t_lsn,
+            selective=cfg.selective_buckets,
             coalesce_cols=schema.value_columns,
             # single-table mode keeps the registry in table properties;
             # catalog mode owns it at the catalog level (saved below)
