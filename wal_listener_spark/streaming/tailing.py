@@ -11,12 +11,16 @@ flush at ``listener.go:401-424``) as a keyed stateful operator:
     readStream -> groupBy(tx_id).applyInPandasWithState(buffer-or-release)
                -> foreachBatch(replay_batch)
 
-State per tx_id: the JSON-serialized buffered rows. When the Commit
-arrives, the whole transaction (Begin + changes + Commit) is released
-downstream atomically, so ``replay_batch``'s integrity accounting and
-merge see only complete transactions. Relation/Origin/Type/Truncate
-rows (tx-less control messages in our columnar form) pass through
-immediately.
+State per tx_id: the buffered rows as ONE serialized pandas DataFrame
+(binary column in the state store). Incoming Arrow batches are
+buffered/released wholesale — no per-row Python loop, no dict/JSON
+normalization: the pdf Spark hands in IS the pdf handed back out, so
+the assembler's per-trigger cost is O(columns), not O(rows). When the
+Commit arrives, the whole transaction (Begin + changes + Commit) is
+released downstream atomically, so ``replay_batch``'s integrity
+accounting and merge see only complete transactions.
+Relation/Origin/Type/Truncate rows (tx-less control messages in our
+columnar form) pass through immediately.
 
 State size is bounded by open transactions only (the reference holds
 the same buffer in memory); Spark checkpoints the state store, so a
@@ -25,7 +29,7 @@ crash mid-transaction resumes with the buffer intact.
 
 from __future__ import annotations
 
-import json
+import pickle
 from collections.abc import Iterator
 
 import pandas as pd
@@ -41,27 +45,24 @@ from ..trace.generator import TRACE_SCHEMA
 
 STATE_SCHEMA = T.StructType(
     [
-        T.StructField("buffered", T.StringType(), True),
+        T.StructField("buffered", T.BinaryType(), True),
         T.StructField("committed", T.BooleanType(), True),
-        T.StructField("commit_row", T.StringType(), True),
+        T.StructField("commit_row", T.BinaryType(), True),
     ]
 )
 
-_JSON_COLS = [f.name for f in TRACE_SCHEMA.fields]
+_COLS = [f.name for f in TRACE_SCHEMA.fields]
 
 
-def _row_to_jsonable(row) -> dict:
-    d = {}
-    for c in _JSON_COLS:
-        v = getattr(row, c)
-        if c == "commit_ts" and v is not None and not pd.isna(v):
-            v = v.isoformat()
-        elif c == "commit_ts":
-            v = None
-        if isinstance(v, float) and pd.isna(v):
-            v = None
-        d[c] = v
-    return d
+def _dumps(pdf: pd.DataFrame) -> bytes:
+    # pickle (protocol 5) keeps pandas' columnar buffers and the
+    # object-typed map/array cells intact with zero per-row work; the
+    # blob lives only inside this query's checkpointed state store
+    return pickle.dumps(pdf, protocol=5)
+
+
+def _empty() -> pd.DataFrame:
+    return pd.DataFrame(columns=_COLS)
 
 
 def _assemble(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
@@ -73,51 +74,46 @@ def _assemble(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     late-arriving rows of that tx release immediately together with a
     copy of the Commit row (so downstream integrity accounting still
     sees a complete transaction in every batch)."""
-    buffered: list[dict] = []
     committed = False
-    commit_row: dict | None = None
+    commit_blob: bytes | None = None
+    parts: list[pd.DataFrame] = []
     if state.exists:
-        raw, committed, craw = state.get
-        buffered = json.loads(raw) if raw else []
-        committed = bool(committed)
-        commit_row = json.loads(craw) if craw else None
+        blob, was_committed, commit_blob = state.get
+        committed = bool(was_committed)
+        if blob:
+            parts.append(pickle.loads(bytes(blob)))
 
-    for pdf in pdfs:
-        for row in pdf.itertuples(index=False):
-            d = _row_to_jsonable(row)
-            # map/array cells come back as numpy/dict types; normalize
-            if d["new_vals"] is not None:
-                d["new_vals"] = dict(d["new_vals"])
-            if d["old_vals"] is not None:
-                d["old_vals"] = dict(d["old_vals"])
-            if d["toast_cols"] is not None:
-                d["toast_cols"] = list(d["toast_cols"])
-            if d["rel_columns"] is not None:
-                d["rel_columns"] = [dict(c) for c in d["rel_columns"]]
-            buffered.append(d)
-            if d["op"] == "C":
-                committed = True
-                commit_row = d
+    fresh = [pdf for pdf in pdfs if len(pdf)]
+    parts.extend(fresh)
+    for pdf in fresh:
+        commits = pdf[pdf["op"] == "C"]
+        if len(commits):
+            committed = True
+            commit_blob = _dumps(commits.tail(1))
 
     tx_less = key[0] is not None and key[0] < 0
+    buffered = pd.concat(parts, ignore_index=True) if parts else _empty()
     if committed or tx_less:
-        release = list(buffered)
+        release = buffered
         # late release after an earlier commit: attach the Commit copy so
         # this batch still carries a complete transaction
-        if commit_row is not None and not any(r["op"] == "C" for r in release):
-            release.append(commit_row)
-        out = pd.DataFrame(release, columns=_JSON_COLS)
-        if not out.empty:
-            out["commit_ts"] = pd.to_datetime(out["commit_ts"])
+        if (
+            commit_blob is not None
+            and len(release)
+            and not (release["op"] == "C").any()
+        ):
+            release = pd.concat(
+                [release, pickle.loads(bytes(commit_blob))], ignore_index=True
+            )
         if tx_less:
             state.remove()
         else:
             # keep the committed marker (empty buffer) for stragglers
-            state.update((json.dumps([]), True, json.dumps(commit_row)))
-        yield out
+            state.update((None, True, commit_blob))
+        yield release
     else:
-        state.update((json.dumps(buffered), False, None))
-        yield pd.DataFrame(columns=_JSON_COLS)
+        state.update((_dumps(buffered), False, None))
+        yield _empty()
 
 
 def assemble_stream(trace_stream: DataFrame) -> DataFrame:
