@@ -1,0 +1,54 @@
+"""Container synth + header parse round-trip (pure Python — the Spark
+plumbing around it is exercised by the mm_decode_meta oracle gate)."""
+
+import hashlib
+import struct
+import zlib
+
+from wal_listener_spark.functions import multimodal as mm
+
+
+def test_png_roundtrip_and_crc():
+    p = mm.make_png(42, b"DATA")
+    meta = mm.parse_container(p)
+    assert meta["modality"] == "image/png"
+    assert meta["width"] == 16 + 42 % 240
+    assert meta["height"] == 16 + 14 % 200
+    assert meta["n_bytes"] == len(p) == 57 + 4
+    assert meta["payload_sha"] == hashlib.sha256(p).hexdigest()
+    # IHDR chunk CRC is a real CRC32 (byte-valid container)
+    (ln,) = struct.unpack_from(">I", p, 8)
+    body = p[12 : 16 + ln]
+    (crc,) = struct.unpack_from(">I", p, 16 + ln)
+    assert crc == zlib.crc32(body) & 0xFFFFFFFF
+
+
+def test_wav_roundtrip():
+    p = mm.make_wav(7, b"audio-bytes")
+    meta = mm.parse_container(p)
+    assert meta["modality"] == "audio/wav"
+    assert meta["sample_rate"] == 8000 + (7 % 5) * 8000
+    assert meta["channels"] == 1 + 7 % 2
+    assert meta["n_bytes"] == 44 + len(b"audio-bytes")
+
+
+def test_gif_roundtrip():
+    p = mm.make_gif(8, b"xy")
+    meta = mm.parse_container(p)
+    assert meta["modality"] == "image/gif"
+    assert meta["width"] == 16 + 8 % 240 and meta["height"] == 16 + 2 % 200
+    assert meta["n_bytes"] == 14 + 2
+
+
+def test_unknown_container_degrades():
+    meta = mm.parse_container(b"\x00\x01garbage")
+    assert meta["modality"] == "unknown"
+    assert meta["width"] is None and meta["sample_rate"] is None
+    assert meta["n_bytes"] == 9
+
+
+def test_pixel_decode_is_declared_stub():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(mm.make_png(1, b""))

@@ -1,59 +1,165 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Image/audio/video decode libraries are not available in this
-environment, so the *decode* step is a clearly-marked stub — but the
-Spark-side plumbing is real and tested: binary columns, Arrow batch
-transfer, mapInPandas signatures, metadata schema, partitioning. A real
-pipeline swaps ``_fake_decode`` for PIL/ffmpeg and nothing else changes.
+The Spark-side shape is the production shape: a ``binary`` column,
+Arrow batch transfer, ``mapInPandas`` decode, typed metadata schema.
+The *container header* parse is REAL (stdlib ``struct``): PNG IHDR
+(width/height, CRC-correct chunk framing), WAV RIFF/fmt (sample rate,
+channels), GIF logical screen descriptor. Only pixel/sample decode
+(``decode_image``) stays a declared stub — PIL/ffmpeg are not in this
+environment; a real pipeline swaps that one function and nothing else
+changes.
+
+Fixture side: ``attach_payload`` synthesizes byte-valid containers
+deterministically from (doc_id, text) — modality cycles PNG/WAV/GIF by
+``doc_id % 3``, dimensions/rates are closed-form in doc_id, and the
+document text rides inside as the (opaque) data section. Both the
+fixture and the parser are pure functions, so the DuckDB oracle checks
+the parsed fields against the same closed form.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
-META_DDL = "doc_id bigint, n_bytes bigint, payload_sha string, modality string"
+META_DDL = (
+    "doc_id bigint, modality string, width int, height int, "
+    "sample_rate int, channels int, n_bytes bigint, payload_sha string"
+)
+
+# closed-form fixture parameters (shared with the DuckDB oracle)
+def _width(doc_id: int) -> int:
+    return 16 + doc_id % 240
 
 
-def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Model an opaque binary column (here: utf-8 bytes of the text —
-    deterministic stand-in for an image/audio blob)."""
-    return docs.withColumn("payload", F.encode(F.col(text_col), "utf-8"))
+def _height(doc_id: int) -> int:
+    return 16 + (doc_id // 3) % 200
 
 
-def _fake_decode(payload: bytes) -> dict:
-    """STUB: deterministic fake 'decode'. A real implementation would
-    parse the container format (e.g. PIL.Image.open) — unavailable here.
-    """
-    return {
+def _sample_rate(doc_id: int) -> int:
+    return 8000 + (doc_id % 5) * 8000
+
+
+def _channels(doc_id: int) -> int:
+    return 1 + doc_id % 2
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def make_png(doc_id: int, data: bytes) -> bytes:
+    ihdr = struct.pack(
+        ">IIBBBBB", _width(doc_id), _height(doc_id), 8, 2, 0, 0, 0
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", data)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def make_wav(doc_id: int, data: bytes) -> bytes:
+    rate, ch = _sample_rate(doc_id), _channels(doc_id)
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def make_gif(doc_id: int, data: bytes) -> bytes:
+    screen = struct.pack("<HHBBB", _width(doc_id), _height(doc_id), 0, 0, 0)
+    return b"GIF89a" + screen + data + b"\x3b"
+
+
+def parse_container(payload: bytes) -> dict:
+    """Header parse of PNG / WAV / GIF containers (magic-sniffed).
+    Returns typed metadata; unknown containers degrade to nulls — the
+    permissive-decode stance the pgoutput side also takes."""
+    meta = {
+        "modality": "unknown", "width": None, "height": None,
+        "sample_rate": None, "channels": None,
         "n_bytes": len(payload),
         "payload_sha": hashlib.sha256(payload).hexdigest(),
-        "modality": "text",
     }
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        w, h = struct.unpack_from(">II", payload, 16)
+        meta.update(modality="image/png", width=w, height=h)
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        # walk RIFF chunks to fmt (usually first)
+        pos = 12
+        while pos + 8 <= len(payload):
+            tag = payload[pos : pos + 4]
+            (ln,) = struct.unpack_from("<I", payload, pos + 4)
+            if tag == b"fmt ":
+                _fmt, ch, rate = struct.unpack_from("<HHI", payload, pos + 8)
+                meta.update(
+                    modality="audio/wav", sample_rate=rate, channels=ch
+                )
+                break
+            pos += 8 + ln + (ln & 1)
+    elif payload[:6] in (b"GIF89a", b"GIF87a"):
+        w, h = struct.unpack_from("<HH", payload, 6)
+        meta.update(modality="image/gif", width=w, height=h)
+    return meta
 
 
 def decode_image(payload: bytes):
-    """Real-decoder placeholder. Raises until an image lib is present."""
+    """Pixel-decode placeholder. Raises until an image lib is present —
+    header metadata comes from parse_container, which needs none."""
     raise NotImplementedError(
-        "image decode requires PIL/opencv — not available in this environment"
+        "pixel decode requires PIL/opencv — not available in this environment"
     )
+
+
+def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize the opaque binary column: a byte-valid PNG/WAV/GIF
+    container (by doc_id % 3) carrying the text as its data section."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        makers = (make_png, make_wav, make_gif)
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = [
+                makers[int(d) % 3](int(d), t.encode())
+                for d, t in zip(pdf["doc_id"], pdf[text_col])
+            ]
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
+    )
+    return docs.mapInPandas(_make, schema + ", payload binary")
 
 
 def extract_metadata(with_payload: DataFrame) -> DataFrame:
     """mapInPandas over Arrow batches: binary in, typed metadata out.
     The batch shape (vectorized columns, one yield per Arrow batch) is
-    the production shape; only the per-payload decode body is stubbed."""
+    the production shape; swap parse_container for a PIL/ffmpeg probe
+    on a real cluster and nothing else changes."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [_fake_decode(bytes(p)) for p in pdf["payload"].values]
+            metas = [parse_container(bytes(p)) for p in pdf["payload"].values]
             out = pd.DataFrame(metas)
             out.insert(0, "doc_id", pdf["doc_id"].values)
-            yield out
+            yield out[
+                [
+                    "doc_id", "modality", "width", "height",
+                    "sample_rate", "channels", "n_bytes", "payload_sha",
+                ]
+            ]
 
     return with_payload.select("doc_id", "payload").mapInPandas(_extract, META_DDL)

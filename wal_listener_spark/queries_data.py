@@ -139,8 +139,12 @@ def q_text_fingerprint(spark, sf_dir):
 
 
 def q_mm_decode_meta(spark, sf_dir):
+    """Binary containers (PNG/WAV/GIF) synthesized, then header-parsed
+    back; the oracle checks the parsed fields against the closed form.
+    payload_sha is exercised by tests (the oracle cannot rebuild the
+    CRC-framed binary in SQL)."""
     with_payload = multimodal.attach_payload(_docs(spark, sf_dir))
-    return multimodal.extract_metadata(with_payload)
+    return multimodal.extract_metadata(with_payload).drop("payload_sha")
 
 
 DATA_QUERIES = {
@@ -325,8 +329,18 @@ FROM m""",
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
         "text_fingerprint": f"""
 SELECT doc_id, {_FP} AS fp FROM documents""",
+        # closed form of the synthesized containers: fixed header sizes
+        # (PNG 8+25+12 IHDR/IDAT framing+12 IEND = 57; WAV RIFF+fmt+data
+        # headers = 44; GIF 6+7+1 trailer = 14) + the text data section
         "mm_decode_meta": """
-SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
-       sha256(text) AS payload_sha, 'text' AS modality
+SELECT doc_id,
+  CASE doc_id%3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+       ELSE 'image/gif' END AS modality,
+  (CASE WHEN doc_id%3 IN (0,2) THEN 16 + doc_id%240 END)::INT AS width,
+  (CASE WHEN doc_id%3 IN (0,2) THEN 16 + (doc_id//3)%200 END)::INT AS height,
+  (CASE WHEN doc_id%3=1 THEN 8000 + (doc_id%5)*8000 END)::INT AS sample_rate,
+  (CASE WHEN doc_id%3=1 THEN 1 + doc_id%2 END)::INT AS channels,
+  (octet_length(encode(text)) +
+   CASE doc_id%3 WHEN 0 THEN 57 WHEN 1 THEN 44 ELSE 14 END)::BIGINT AS n_bytes
 FROM documents""",
     }
