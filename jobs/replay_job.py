@@ -48,6 +48,12 @@ def parse_args(argv):
         default=None,
         help='JSON table->actions allow-list, e.g. \'{"repos": ["insert","update"]}\'',
     )
+    p.add_argument(
+        "--config",
+        default=None,
+        help="YAML config (reference config_example.yml layout) loaded "
+        "with WAL_ env overrides; CLI flags take precedence",
+    )
     return p.parse_args(argv)
 
 
@@ -63,10 +69,19 @@ def main(argv=None, stop_session: bool = True) -> int:
     from wal_listener_spark.streaming.job import run_replay_stream
 
     spark = get_spark(args.master, app_name="wal_listener_replay")
-    cfg = PipelineConfig(
-        filter_tables=json.loads(args.filter) if args.filter else None,
-        num_buckets=args.num_buckets,
-    )
+    if args.config:
+        from wal_listener_spark.config import load_config
+
+        cfg = load_config(args.config)
+        if args.filter:
+            cfg.filter_tables = json.loads(args.filter)
+        if "--num-buckets" in (argv or sys.argv[1:]):
+            cfg.num_buckets = args.num_buckets
+    else:
+        cfg = PipelineConfig(
+            filter_tables=json.loads(args.filter) if args.filter else None,
+            num_buckets=args.num_buckets,
+        )
     cfg.validate()
 
     # S2 analog: idempotent sink bootstrap (repository.go:36-42); the

@@ -153,3 +153,22 @@ def test_replay_job_cli(spark, tmp_path):
     tb = LakeTable.load(spark, str(tmp_path / "lake"))
     assert tb.read_public().count() > 0
     assert MetricsLog(str(tmp_path / "m.jsonl")).read_all()
+
+
+def test_stamp_table_names_broadcasts_above_threshold(spark):
+    """50 relations: the registry lookup must plan as a broadcast hash
+    join (not a 50-branch CASE chain) and still resolve every name."""
+    from wal_listener_spark.operators.registry import RelationRegistry, RelationSchema
+    from wal_listener_spark.pipeline import stamp_table_names
+
+    reg = RelationRegistry()
+    for i in range(50):
+        reg.relations[i] = RelationSchema(i, "public", f"t{i}", [("k", 25, True)])
+    rows = [(100 + i, i, 0, "I", i, None, None, None, None, {"k": "x"}, [], None, None)
+            for i in range(50)]
+    df = spark.createDataFrame(rows, TRACE_SCHEMA)
+    stamped = stamp_table_names(df, reg)
+    plan = stamped._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    got = {r["rel_id"]: r["table_name"] for r in stamped.collect()}
+    assert got == {i: f"t{i}" for i in range(50)}

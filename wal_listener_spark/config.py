@@ -2,11 +2,15 @@
 config (``/root/reference/internal/config/config.go:20-80``,
 ``config_example.yml``): listener filter (table -> actions), publisher
 topic/prefix/topicsMap, plus Spark-side knobs (buckets, salt) the Go
-daemon never needed.
+daemon never needed. ``load_config`` mirrors the viper loader
+(``config.go:96-117``): YAML file + ``WAL_``-prefixed environment
+overrides (dots in the config path become underscores, case-insensitive
+— ``WAL_PUBLISHER_TOPIC`` overrides ``publisher.topic``).
 """
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 
@@ -40,3 +44,73 @@ class PipelineConfig:
             bad = {a.lower() for a in acts} - valid
             if bad:
                 raise ValueError(f"invalid actions for table {t}: {sorted(bad)}")
+
+
+def _env_override(env: dict, *path: str) -> str | None:
+    """viper AutomaticEnv analog: WAL_ + path segments joined by '_',
+    upper-cased (config.go:98-104: SetEnvPrefix("WAL") +
+    EnvKeyReplacer(".", "_"))."""
+    return env.get("WAL_" + "_".join(p.upper() for p in path))
+
+
+def load_config(
+    path: str | None = None, env: dict | None = None
+) -> PipelineConfig:
+    """InitConfig analog (config.go:96-117): YAML file + WAL_ env
+    overrides, then Validate(). Recognized keys (the subset with a
+    Spark-side meaning; DB/broker connection keys have no analog here):
+
+    - ``listener.filter.tables`` -> filter_tables
+    - ``listener.topicsMap``     -> topics_map
+    - ``publisher.topic``        -> topic (required when a publisher
+      section exists, mirroring the reference's valid:"required")
+    - ``publisher.topicPrefix``  -> topic_prefix
+    - ``spark.numBuckets`` / ``spark.saltBuckets`` /
+      ``spark.selectiveBuckets`` -> lake/skew knobs (our extension)
+    """
+    env = dict(os.environ) if env is None else env
+    doc: dict = {}
+    if path is not None:
+        import yaml
+
+        with open(path) as f:
+            doc = yaml.safe_load(f) or {}
+
+    listener = doc.get("listener") or {}
+    publisher = doc.get("publisher") or {}
+    spark = doc.get("spark") or {}
+
+    if "publisher" in doc and not (
+        publisher.get("topic") or _env_override(env, "publisher", "topic")
+    ):
+        raise ValueError("publisher.topic is required (config.go Validate)")
+
+    cfg = PipelineConfig()
+    flt = (listener.get("filter") or {}).get("tables")
+    if flt:
+        cfg.filter_tables = {t: list(a) for t, a in flt.items()}
+    if listener.get("topicsMap"):
+        cfg.topics_map = dict(listener["topicsMap"])
+    cfg.topic = (
+        _env_override(env, "publisher", "topic")
+        or publisher.get("topic")
+        or cfg.topic
+    )
+    cfg.topic_prefix = (
+        _env_override(env, "publisher", "topicprefix")
+        or publisher.get("topicPrefix")
+        or cfg.topic_prefix
+    )
+    nb = _env_override(env, "spark", "numbuckets") or spark.get("numBuckets")
+    if nb is not None:
+        cfg.num_buckets = int(nb)
+    sb = _env_override(env, "spark", "saltbuckets") or spark.get("saltBuckets")
+    if sb is not None:
+        cfg.salt_buckets = int(sb)
+    sel = _env_override(env, "spark", "selectivebuckets")
+    if sel is None:
+        sel = spark.get("selectiveBuckets")
+    if sel is not None:
+        cfg.selective_buckets = str(sel).lower() in ("1", "true", "yes")
+    cfg.validate()
+    return cfg

@@ -23,13 +23,31 @@ from .operators.filters import allowlist_filter
 from .operators.registry import RelationRegistry, RelationSchema, typed_changes
 
 
+#: above this relation count the stamped lookup becomes a broadcast
+#: join — a CASE chain of hundreds of branches blows up Catalyst
+#: analysis time O(relations) per column
+STAMP_BROADCAST_THRESHOLD = 16
+
+
 def stamp_table_names(df: DataFrame, registry: RelationRegistry) -> DataFrame:
     """Data rows carry only rel_id; resolve schema/table from the
-    registry (broadcast-sized driver map folded into a CASE expression —
-    the T1 registry lookup, wal.go:70-76)."""
+    registry (the T1 registry lookup, wal.go:70-76). Few relations:
+    a constant-folded CASE expression (no join at all). Many relations:
+    a broadcast hash join against the tiny (rel_id, schema, table)
+    frame — same plan shape either way (no shuffle of the payload)."""
+    rels = registry.relations
+    if len(rels) > STAMP_BROADCAST_THRESHOLD:
+        spark = df.sparkSession
+        m = spark.createDataFrame(
+            [(s.rel_id, s.schema_name, s.table_name) for s in rels.values()],
+            "rel_id int, schema_name string, table_name string",
+        )
+        return df.drop("schema_name", "table_name").join(
+            F.broadcast(m), "rel_id", "left"
+        )
     sch = F.lit(None).cast("string")
     tbl = F.lit(None).cast("string")
-    for rel_id, s in registry.relations.items():
+    for rel_id, s in rels.items():
         sch = F.when(F.col("rel_id") == rel_id, F.lit(s.schema_name)).otherwise(sch)
         tbl = F.when(F.col("rel_id") == rel_id, F.lit(s.table_name)).otherwise(tbl)
     return df.withColumn("schema_name", sch).withColumn("table_name", tbl)
