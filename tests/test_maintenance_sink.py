@@ -92,3 +92,30 @@ def test_event_feed_sink_key_partitioning(spark, tmp_path):
     ).first()["e"]
     assert one["action"] in ("INSERT", "UPDATE", "DELETE")
     assert one["schema"] == "public"
+
+
+def test_kafka_writer_builds_unstarted(spark):
+    """The flag-guarded broker codepath (K1) must construct — the plan,
+    key/topic expressions and options — without a broker; only .start()
+    needs the connector jar + a cluster."""
+    from pyspark.sql import functions as F
+
+    from wal_listener_spark.operators.sink import kafka_writer
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .select(
+            F.lit("e1").alias("id"),
+            F.lit("public").alias("schema"),
+            F.lit("repos").alias("table"),
+            F.lit("INSERT").alias("action"),
+            F.create_map(F.lit("repo"), F.lit("r1")).alias("data"),
+            F.create_map().cast("map<string,string>").alias("data_old"),
+            F.col("timestamp").alias("event_time"),
+            F.lit("wal_listener.public_repos").alias("subject"),
+        )
+    )
+    writer = kafka_writer(
+        stream, "broker:9092", "/tmp/nope", message_key_from="repo"
+    )
+    assert writer is not None  # unstarted DataStreamWriter

@@ -65,3 +65,35 @@ def publish_events(
         .mode("overwrite")
         .parquet(out_dir)
     )
+
+
+def kafka_writer(
+    event_stream: DataFrame,
+    bootstrap_servers: str,
+    checkpoint_dir: str,
+    message_key_from: str | None = None,
+):
+    """The real broker codepath (K1): ``writeStream.format("kafka")``
+    with the reference's key/topic semantics — key = messageKeyFrom
+    field else table (kafka.go:120-128), topic = the event's routed
+    subject (event.go:24-36). Returns the unstarted DataStreamWriter.
+
+    NOT executed in this sandbox (no broker, and the kafka-sql connector
+    jar is not on the classpath) — the parquet event feed above is the
+    tested stand-in with identical partitioning semantics. On a cluster:
+    ``kafka_writer(stream, "broker:9092", "/ckpt").start()``.
+    """
+    keyed = with_message_key(event_stream, message_key_from)
+    payload = keyed.select(
+        F.col("message_key").cast("string").alias("key"),
+        F.to_json(
+            F.struct("id", "schema", "table", "action", "data", "data_old",
+                     F.col("event_time").alias("commitTime"))
+        ).alias("value"),
+        F.col("subject").alias("topic"),
+    )
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("checkpointLocation", checkpoint_dir)
+    )
