@@ -4,8 +4,9 @@
 assembly -> registry -> filter -> LWW apply -> lake MERGE -> snapshot
 read) at sf0.001. ``queries()`` exposes one entry per implemented
 operator from SURVEY.md §2 plus the training-data ops; ``oracle_sql()``
-gives the DuckDB twin for each (ann_lsh_topk is approximate by design ->
-rows-only check).
+gives the DuckDB twin for each — every query is fully oracle-gated
+(round 2 added the ann_lsh_topk oracle via inlined deterministic
+hyperplane constants).
 """
 
 from __future__ import annotations
