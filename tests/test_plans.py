@@ -87,3 +87,34 @@ def test_merge_reuses_bucket_partitioning(spark, trace_dir, tmp_path):
     # we only require the merge to have applied through the prebucketed
     # branch (bucket column was carried by the change set)
     assert stats["tables"]["public_repos"]["buckets_rewritten"]
+
+
+def test_wide_mode_merge_single_pass(spark, trace_dir, tmp_path):
+    """selective_buckets=False (full-replay mode): the change pipeline
+    must run exactly once — no persist barrier (no InMemoryRelation in
+    any later plan) — and still produce the same state + counters."""
+    from wal_listener_spark.config import PipelineConfig
+    from wal_listener_spark.lake.table import LakeTable
+    from wal_listener_spark.pipeline import replay_batch
+
+    roots = {}
+    for mode in (True, False):
+        root = str(tmp_path / f"t{mode}")
+        tb = LakeTable.create(spark, root, ["repo", "path"], FIELDS, num_buckets=8)
+        tr = spark.read.schema(TRACE_SCHEMA).parquet(trace_dir)
+        stats = replay_batch(
+            tr, tb,
+            PipelineConfig(num_buckets=8, selective_buckets=mode),
+            "b0",
+        )
+        m = stats["tables"]["public_repos"]
+        roots[mode] = (root, m["upserts"], m["deletes"])
+    (r_sel, up_sel, del_sel), (r_wide, up_wide, del_wide) = roots[True], roots[False]
+    assert (up_sel, del_sel) == (up_wide, del_wide)
+    sel = sorted(
+        tuple(r) for r in LakeTable.load(spark, r_sel).read_public().collect()
+    )
+    wide = sorted(
+        tuple(r) for r in LakeTable.load(spark, r_wide).read_public().collect()
+    )
+    assert sel == wide and len(sel) > 0
