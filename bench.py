@@ -12,8 +12,9 @@ its own subprocess (cold JVM) so JIT warm-up can't tilt comparisons.
 
 Scaling evidence (the N -> 4N executor rule, sandbox proxy): the SAME
 input replayed at BENCH_SCALE_LO vs BENCH_SCALE_HI local threads
-(default 4 -> 16: the rule's 4x ratio at parallelism levels that fit
-beside co-tenant load). Three figures are reported:
+(default 2 -> 8: the rule's 4x ratio at parallelism levels that fit
+beside co-tenant load), at BENCH_SCALE_AMPLIFY (default 3x the headline
+trace — fixed per-epoch seconds amortize). Three figures are reported:
 
   efficiency_wall     = (thr_hi / thr_lo) / (cpus_hi / cpus_lo)
   cpu_inflation       = jvm_cpu_hi / jvm_cpu_lo   (same events!)
@@ -31,7 +32,8 @@ the measured same-process inflation factored back out. All raw numbers
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), BENCH_AMPLIFY (default 400),
-BENCH_REPS (default 2), BENCH_SCALE_LO/BENCH_SCALE_HI (default 4/16),
+BENCH_REPS (default 2), BENCH_SCALE_LO/BENCH_SCALE_HI (default 2/8),
+BENCH_SCALE_AMPLIFY / BENCH_SCALE_REPS (default 3), and
 BENCH_SKIP_SCALING=1 to skip the scaling runs.
 """
 
@@ -236,6 +238,28 @@ def main() -> None:
     t0 = time.time()
     q_ann_cosine_topk(spark, SF_DIR).count()
     queries["ann_cosine_topk"] = round(time.time() - t0, 3)
+
+    # ---- tailing mode: stateful cross-batch tx assembly throughput ----
+    # NON-tx-aligned trace split into files -> maxFilesPerTrigger epochs
+    # through applyInPandasWithState + the same exactly-once merge
+    from pyspark.sql import functions as F
+
+    from wal_listener_spark.config import PipelineConfig
+    from wal_listener_spark.lake.table import LakeTable
+    from wal_listener_spark.streaming.tailing import run_tailing_stream
+
+    tail_dir = os.path.join(work, "tail_trace")
+    generator.write_trace(small, tail_dir, num_files=8)  # raw lsn split
+    tail_root = os.path.join(work, "tail_lake")
+    LakeTable.create(spark, tail_root, ["repo", "path"], FIELDS, num_buckets=buckets)
+    n_tail = small.filter(F.col("op").isin("I", "U", "D", "T")).count()
+    t0 = time.time()
+    run_tailing_stream(
+        spark, tail_dir, tail_root, os.path.join(work, "tail_ckpt"),
+        cfg=PipelineConfig(num_buckets=buckets), max_files_per_trigger=4,
+    )
+    queries["tailing_replay"] = round(time.time() - t0, 3)
+    out["tailing_eps"] = round(n_tail / queries["tailing_replay"], 1)
     spark.stop()
 
     # ---- headline replays: isolated cold-JVM subprocesses --------------
