@@ -127,6 +127,48 @@ def minhash_candidate_pairs(
     )
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold_milli: int = 9990,
+    bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed (the scale
+    path): vectors shuffle once on their hyperplane-sign bucket, the
+    self-join compares only same-bucket pairs (hyperplane signs are
+    scale-invariant, so exact/rescaled duplicates always collide), and
+    the cosine filter keeps pairs with round(cos*10000) >= threshold.
+    O(N^2 / 2^bits) comparisons instead of all-pairs; recall is tuned
+    with more tables (union of bucketings), same plan shape.
+
+    Output: (a, b, cos_milli) with a < b.
+    """
+    from .similarity import _as_double, cosine, hyperplane_bucket
+
+    base = emb.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("v"),
+        hyperplane_bucket(F.col(vec_col), bits).alias("bucket"),
+    )
+    left = base.alias("l")
+    right = base.alias("r")
+    pairs = left.join(
+        right,
+        (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("a"),
+        F.col(f"r.{id_col}").alias("b"),
+        # round, not floor: exact-duplicate pairs sit at cos == 1 where
+        # a 1-ulp summation-order difference flips floor across engines
+        F.round(cosine(F.col("l.v"), F.col("r.v")) * 10000, 0)
+        .cast("bigint")
+        .alias("cos_milli"),
+    )
+    return pairs.filter(F.col("cos_milli") >= threshold_milli)
+
+
 def jaccard_milli(text_a, text_b, k: int = 3):
     """(10000 * |A∩B|) // |A∪B| over distinct k-shingles — integer-scaled
     for engine-portable comparison."""

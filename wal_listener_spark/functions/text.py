@@ -27,6 +27,21 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("bigint")
 
 
+#: BPE-ish pre-tokenizer pattern (GPT-2 style simplification): letter
+#: runs are one token, each digit its own token, punctuation single —
+#: kept to syntax Java regex and RE2 interpret identically so the
+#: DuckDB oracle counts the same matches
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(text: Column) -> Column:
+    """Pre-tokenizer token count under the BPE-ish pattern — the
+    cheap-but-realistic proxy for LLM token budgeting (a real BPE
+    merges within these pieces, so this upper-bounds letter-run splits
+    and matches digit/punct handling)."""
+    return F.regexp_count(text, F.lit(BPE_PATTERN)).cast("bigint")
+
+
 def stopword_hits(text: Column) -> Column:
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     return F.size(

@@ -96,6 +96,31 @@ def q_dedup_simhash(spark, sf_dir):
     return d.select("doc_id", textfn.simhash16(F.col("text")).alias("simhash"))
 
 
+def _emb_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding corpus with deterministic near-duplicates: exact copies
+    at vec_id+100000 (vec_id%5==0) and x2-rescaled copies at +200000
+    (vec_id%7==0) — cosine is scale-invariant, so both are cos==1
+    positives, and x2 is FP-exact in both engines."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    copies = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), F.col("embedding")
+    )
+    scaled = e.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x * F.lit(2.0)).cast("float")
+        ).alias("embedding"),
+    )
+    return e.unionByName(copies).unionByName(scaled)
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup: LSH-bucketed self-join, cos >= 0.999."""
+    return dedup.embedding_near_dup_pairs(
+        _emb_with_dups(spark, sf_dir), threshold_milli=9990, bits=ANN_LSH_BITS
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     return similarity.brute_force_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
 
@@ -113,6 +138,7 @@ def q_text_token_count(spark, sf_dir):
     return d.select(
         "doc_id",
         textfn.token_count(F.col("text")).alias("n_tokens"),
+        textfn.token_count_bpe(F.col("text")).alias("n_tokens_bpe"),
         F.length("text").cast("bigint").alias("n_chars_len"),
     )
 
@@ -149,6 +175,7 @@ def q_mm_decode_meta(spark, sf_dir):
 
 DATA_QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
@@ -205,16 +232,22 @@ def _simhash_sql() -> str:
 _STOPLIST = ", ".join(f"'{s}'" for s in textfn.STOPWORDS)
 
 
+def _bucket_sign_terms() -> str:
+    """SQL expression for the hyperplane-sign bucket over a DOUBLE[]
+    column ``v`` (weights inlined as literals — _lsh_plane_weights)."""
+    weights = _lsh_plane_weights()
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(v, {w}::DOUBLE[]) > 0 THEN {1 << p} ELSE 0 END)"
+        for p, w in enumerate(weights)
+    )
+
+
 def _ann_lsh_oracle_sql() -> str:
     """DuckDB twin of similarity.lsh_topk: identical hyperplane bucket
     (weights inlined as literals — see _lsh_plane_weights), identical
     cosine/rank/floor formulation as the brute-force oracle, restricted
     to the query's own bucket."""
-    weights = _lsh_plane_weights()
-    sign_terms = " + ".join(
-        f"(CASE WHEN list_dot_product(v, {w}::DOUBLE[]) > 0 THEN {1 << p} ELSE 0 END)"
-        for p, w in enumerate(weights)
-    )
+    sign_terms = _bucket_sign_terms()
     ids = ", ".join(map(str, ANN_QUERY_IDS))
     return f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -297,6 +330,7 @@ FROM s
 QUALIFY rank <= {ANN_K}""",
         "text_token_count": f"""
 SELECT doc_id, len({_TOK})::BIGINT AS n_tokens,
+       len(regexp_extract_all(text, '{textfn.BPE_PATTERN}'))::BIGINT AS n_tokens_bpe,
        length(text)::BIGINT AS n_chars_len
 FROM documents""",
         "text_lang_id": f"""
@@ -327,6 +361,23 @@ SELECT doc_id,
   ((hits*1000)//n + least(n, 200) - (punct*1000)//nc)::BIGINT AS quality_m
 FROM m""",
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
+        "dedup_embedding_cosine": f"""
+WITH src AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+corpus AS (
+  SELECT vec_id, v FROM src
+  UNION ALL SELECT vec_id+100000, v FROM src WHERE vec_id%5=0
+  UNION ALL SELECT vec_id+200000, list_transform(v, x -> x*2) FROM src
+    WHERE vec_id%7=0
+),
+bk AS (SELECT vec_id, v, ({_bucket_sign_terms()})::BIGINT AS bucket FROM corpus),
+p AS (
+  SELECT l.vec_id AS a, r.vec_id AS b,
+         round(10000 * list_dot_product(l.v, r.v) /
+               (sqrt(list_dot_product(l.v, l.v)) *
+                sqrt(list_dot_product(r.v, r.v))))::BIGINT AS cos_milli
+  FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT a, b, cos_milli FROM p WHERE cos_milli >= 9990""",
         "text_fingerprint": f"""
 SELECT doc_id, {_FP} AS fp FROM documents""",
         # closed form of the synthesized containers: fixed header sizes
