@@ -120,3 +120,73 @@ def test_int_and_uuid_keys_bucket_consistently(spark, tmp_path, compact_mode, mo
     assert len(got) == 6, f"expected 6 merged keys, got {len(got)} (dup keys?)"
     assert all(r["content"].startswith("v2-") for r in got)
     assert all(r["uid"] == uid_mixed.lower() for r in got)
+
+
+@pytest.mark.parametrize("compact_mode", ["agg", "window"])
+def test_toast_epoch_applied_before_its_setter(spark, tmp_path, compact_mode, monkeypatch):
+    """Out-of-order epochs + TOAST: the LATER epoch (whose UPDATE
+    TOAST-skips `content`) applies FIRST; when the earlier epoch (the
+    INSERT that set content) arrives, column-level LWW must keep the
+    newer note AND fill in the older content — pure row-level LWW would
+    discard it forever."""
+    if compact_mode == "window":
+        monkeypatch.setenv("WAL_COMPACT", "window")
+    else:
+        monkeypatch.delenv("WAL_COMPACT", raising=False)
+    root = str(tmp_path / f"t_{compact_mode}")
+    fields = [("k", "string"), ("content", "string"), ("note", "string")]
+    LakeTable.create(spark, root, ["k"], fields, num_buckets=4)
+    cfg = PipelineConfig(num_buckets=4)
+
+    # epoch 2 (later LSNs) first: UPDATE with content TOASTed
+    rows2 = [_rel(1, 1, "repos", REL_TEXT)]
+    _tx(rows2, 20, 1, 200, "U", {"k": "a", "note": "n2"},
+        old_vals={"k": "a"}, toast=["content"])
+    pipeline.replay_batch(
+        spark.createDataFrame(rows2, TRACE_SCHEMA),
+        LakeTable.load(spark, root), cfg, "e2",
+    )
+
+    # epoch 1 (earlier LSNs) second: the INSERT that set content
+    rows1 = [_rel(1, 1, "repos", REL_TEXT)]
+    _tx(rows1, 10, 1, 100, "I", {"k": "a", "content": "c1", "note": "n1"})
+    pipeline.replay_batch(
+        spark.createDataFrame(rows1, TRACE_SCHEMA),
+        LakeTable.load(spark, root), cfg, "e1",
+    )
+
+    got = LakeTable.load(spark, root).read_public().collect()
+    assert len(got) == 1
+    row = got[0].asDict()
+    assert row["note"] == "n2", "newer epoch's note must win"
+    assert row["content"] == "c1", (
+        "older epoch's explicit content must survive the TOAST skip"
+    )
+
+
+def test_losing_delete_does_not_clear_newer_row(spark, tmp_path, monkeypatch):
+    """A DELETE from an older epoch arriving after a newer re-INSERT must
+    not clear columns or resurrect the tombstone."""
+    monkeypatch.delenv("WAL_COMPACT", raising=False)
+    root = str(tmp_path / "t")
+    fields = [("k", "string"), ("content", "string"), ("note", "string")]
+    LakeTable.create(spark, root, ["k"], fields, num_buckets=4)
+    cfg = PipelineConfig(num_buckets=4)
+
+    # newer epoch first: re-INSERT at lsn 300
+    rows2 = [_rel(1, 1, "repos", REL_TEXT)]
+    _tx(rows2, 30, 1, 300, "I", {"k": "a", "content": "c3", "note": "n3"})
+    pipeline.replay_batch(
+        spark.createDataFrame(rows2, TRACE_SCHEMA),
+        LakeTable.load(spark, root), cfg, "e2",
+    )
+    # older epoch second: the original INSERT + DELETE at lsn 100/110
+    rows1 = [_rel(1, 1, "repos", REL_TEXT)]
+    _tx(rows1, 10, 1, 100, "I", {"k": "a", "content": "c1", "note": "n1"})
+    _tx(rows1, 11, 1, 110, "D", None, old_vals={"k": "a"})
+    pipeline.replay_batch(
+        spark.createDataFrame(rows1, TRACE_SCHEMA),
+        LakeTable.load(spark, root), cfg, "e1",
+    )
+    got = LakeTable.load(spark, root).read_public().collect()
+    assert len(got) == 1 and got[0]["content"] == "c3" and got[0]["note"] == "n3"

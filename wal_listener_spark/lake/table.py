@@ -45,6 +45,13 @@ from pyspark.sql import types as SparkTypes
 LSN_COL = "__lsn"
 BUCKET_COL = "__bucket"
 DELETED_COL = "__deleted"
+#: hidden per-value-column set-LSN ("__clsn_<col>"): the LSN of the row
+#: that last explicitly set the column. Column-level LWW needs it for
+#: out-of-order epochs: a newer row that TOAST-skipped a column must not
+#: discard an older epoch's explicit value arriving later. NULL = never
+#: explicitly set in this table's lifetime (or a legacy file, where the
+#: row LSN is the conservative fallback).
+CLSN_PREFIX = "__clsn_"
 
 #: committed-batch keys retained in the manifest. The epoch no-op guard
 #: only needs the redelivery frontier (foreachBatch re-delivers the last
@@ -128,6 +135,10 @@ class LakeTable:
         parts = [f"`{f['name']}` {f['type']}" for f in self.manifest["schema"]]
         parts.append(f"`{LSN_COL}` bigint")
         parts.append(f"`{DELETED_COL}` boolean")
+        key_cols = set(self.manifest["key_cols"])
+        for f in self.manifest["schema"]:
+            if f["name"] not in key_cols:
+                parts.append(f"`{CLSN_PREFIX}{f['name']}` bigint")
         return SparkTypes.StructType.fromDDL(", ".join(parts))
 
     def _bucket_files(self, buckets: list[int] | None = None) -> list[str]:
@@ -298,26 +309,61 @@ class LakeTable:
         chg_cols = set(chg.columns)
         t_deleted = F.coalesce(F.col(f"t.{DELETED_COL}"), F.lit(False))
         for v in value_cols:
-            # a batch written before a column evolved in simply lacks it
+            # Column-level last-write-wins. The row-level `wins` guard
+            # alone cannot converge under out-of-order epochs + TOAST: a
+            # newer row that TOAST-skipped a column would permanently
+            # discard an older epoch's explicit value arriving later. So
+            # each column carries its own set-LSN and the higher set-LSN
+            # wins, with tombstones never resurrected and a losing DELETE
+            # never clearing a newer row's columns.
             src = F.col(f"c.{v}") if v in chg_cols else F.lit(None)
             tgt = F.col(f"t.{v}")
+            t_vlsn = F.coalesce(F.col(f"t.{CLSN_PREFIX}{v}"), t_lsn)
             if v in coalesce_cols and f"__set_{v}" in chg_cols:
                 # marker-gated TOAST: explicitly-set wins (even explicit
-                # NULL); unset keeps target — but never coalesce out of a
-                # tombstone (its values are semantically absent)
-                new_val = F.when(F.col(f"c.__set_{v}"), src).otherwise(
-                    F.when(~t_deleted, tgt)
-                )
+                # NULL); unset keeps target
+                c_set = F.col(f"c.__set_{v}")
             elif v in coalesce_cols:
                 # legacy NULL-means-unchanged fallback (no markers)
-                new_val = F.coalesce(src, F.when(~t_deleted, tgt))
+                c_set = src.isNotNull()
             else:
-                new_val = src
+                c_set = has_c
+            if f"__setlsn_{v}" in chg_cols:
+                c_vlsn = F.coalesce(F.col(f"c.__setlsn_{v}"), c_lsn)
+            else:
+                c_vlsn = c_lsn
             out_cols.append(
                 F.when(wins & is_del, F.lit(None))
-                .when(wins, new_val)
-                .otherwise(tgt)
+                .when(
+                    wins,
+                    F.when(c_set, src).otherwise(F.when(~t_deleted, tgt)),
+                )
+                .otherwise(  # target row newer
+                    F.when(t_deleted, tgt)  # tombstone: never resurrect
+                    .when(has_c & c_set & ~is_del & (c_vlsn > t_vlsn), src)
+                    .otherwise(tgt)
+                )
                 .alias(v)
+            )
+            # set-LSN bookkeeping: -1 = tracked row, column never set
+            # (so an older explicit set can still claim it); stored NULL
+            # only ever means a legacy pre-clsn file, where the row LSN
+            # is the conservative (in-order-semantics) fallback above
+            out_cols.append(
+                F.when(wins & is_del, F.lit(-1))
+                .when(
+                    wins,
+                    F.when(c_set, c_vlsn).otherwise(
+                        F.when(~t_deleted & has_t, t_vlsn).otherwise(F.lit(-1))
+                    ),
+                )
+                .otherwise(
+                    F.when(t_deleted, F.lit(-1))
+                    .when(has_c & c_set & ~is_del & (c_vlsn > t_vlsn), c_vlsn)
+                    .otherwise(t_vlsn)
+                )
+                .cast("bigint")
+                .alias(f"{CLSN_PREFIX}{v}")
             )
         out_cols.append(F.when(wins, c_lsn).otherwise(t_lsn).alias(LSN_COL))
         out_cols.append(

@@ -58,20 +58,20 @@ def last_write_wins(
     df = changes
     has_toast_info = "toast_cols" in df.columns
     for c in value_cols:
+        cell = F.struct(F.col(lsn_col).alias("l"), F.col(c).alias("v"))
         if c in toastable and has_toast_info:
             wrapped = F.when(
                 F.array_contains(F.col("toast_cols"), c) | (F.col("op") == "D"),
                 F.lit(None),
-            ).otherwise(F.struct(F.col(c).alias("v")))
+            ).otherwise(cell)
         else:
-            wrapped = F.when(F.col("op") == "D", F.lit(None)).otherwise(
-                F.struct(F.col(c).alias("v"))
-            )
+            wrapped = F.when(F.col("op") == "D", F.lit(None)).otherwise(cell)
         carried = F.last(wrapped, ignorenulls=True).over(w_fwd)
         if emit_set_markers:
             # markers first: the value overwrite below must not shadow
             # the original column the wrapped expression reads
             df = df.withColumn(f"__set_{c}", carried.isNotNull())
+            df = df.withColumn(f"__setlsn_{c}", carried.getField("l"))
         df = df.withColumn(c, carried.getField("v"))
 
     w_last = Window.partitionBy(*key_cols).orderBy(
@@ -182,11 +182,16 @@ def compact_agg(raw: DataFrame, schema, num_buckets: int | None = None) -> DataF
             ).alias(c)
         )
     for c in value_cols:
-        # per-column 'was explicitly set' marker: the merge gates its
-        # TOAST coalesce on this, so an explicit UPDATE-to-NULL is not
-        # resurrected from the target (NULL-ness alone can't tell them
-        # apart once the map is flattened to typed columns)
+        # per-column 'was explicitly set' marker + the LSN of the setting
+        # row: the merge gates its TOAST coalesce on the marker (so an
+        # explicit UPDATE-to-NULL is not resurrected from the target) and
+        # uses the set-LSN for column-level LWW across out-of-order
+        # epochs (a TOASTed column in a newer row must not discard an
+        # older epoch's explicit value that arrives later)
         out_cols.append(F.col(f"__last_{c}").isNotNull().alias(f"__set_{c}"))
+        out_cols.append(
+            F.col(f"__last_{c}").getField("lsn").alias(f"__setlsn_{c}")
+        )
     out_cols.append(F.col("win.lsn").alias("lsn"))
     out_cols.append(F.col("win.seq").alias("seq"))
     out_cols.append(F.col("win.op").alias("op"))

@@ -222,6 +222,7 @@ def replay_batch(
                 *schema.key_columns,
                 *schema.value_columns,
                 *[f"__set_{c}" for c in schema.value_columns],
+                *[f"__setlsn_{c}" for c in schema.value_columns],
                 "lsn",
                 "op",
             )
