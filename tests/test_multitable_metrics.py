@@ -172,3 +172,37 @@ def test_stamp_table_names_broadcasts_above_threshold(spark):
     assert "BroadcastHashJoin" in plan
     got = {r["rel_id"]: r["table_name"] for r in stamped.collect()}
     assert got == {i: f"t{i}" for i in range(50)}
+
+
+def test_parallel_relation_merges_match_serial(spark, tmp_path):
+    """4 relations merged concurrently (driver thread pool) must produce
+    exactly the serial result — each relation owns its table, so the
+    jobs are independent."""
+    from wal_listener_spark.lake.catalog import LakeCatalog
+
+    def _mk_trace():
+        rows = []
+        for rel in range(1, 5):
+            rows.append(_rel(rel, rel, f"t{rel}", ["k", "v"]))
+            for i in range(3):
+                _tx(rows, rel * 100 + i, rel, 1000 * rel + 10 * i,
+                    {"k": f"k{i}", "v": f"r{rel}i{i}"})
+        return spark.createDataFrame(rows, TRACE_SCHEMA)
+
+    results = {}
+    for par in (1, 4):
+        cat = LakeCatalog.create(spark, str(tmp_path / f"cat{par}"), num_buckets=4)
+        stats = pipeline.replay_batch(
+            _mk_trace(), cat,
+            PipelineConfig(num_buckets=4, max_parallel_merges=par), "b0",
+        )
+        assert len(stats["tables"]) == 4
+        cat = LakeCatalog.load(spark, str(tmp_path / f"cat{par}"))
+        results[par] = {
+            name: sorted(
+                (r["k"], r["v"]) for r in cat.read_public(name).collect()
+            )
+            for name in cat.table_names()
+        }
+    assert results[1] == results[4]
+    assert results[4]["public_t3"] == [("k0", "r3i0"), ("k1", "r3i1"), ("k2", "r3i2")]

@@ -32,6 +32,10 @@ class PipelineConfig:
     #: merge over all buckets, counters via observe — lower fixed
     #: latency per epoch (lake/table.py merge_batch docstring)
     selective_buckets: bool = True
+    #: catalog mode: per-relation merges submitted concurrently (Spark's
+    #: scheduler interleaves jobs; each relation commits its own table).
+    #: 1 = strictly serial.
+    max_parallel_merges: int = 4
     #: quarantine instead of fail-stop on integrity violations
     quarantine_uncommitted: bool = True
 

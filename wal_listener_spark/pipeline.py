@@ -204,7 +204,7 @@ def replay_batch(
         )
 
     # one merge per relation, each into its own table (T7 routing)
-    for rel_id, schema in sorted(registry.relations.items()):
+    def _merge_relation(rel_id: int, schema) -> tuple[str, dict]:
         rel_table = table.table_for(schema) if is_catalog else table
         rel_table.ensure_columns(schema.spark_fields())
         rel_rows = filtered.filter(F.col("rel_id") == rel_id)
@@ -246,7 +246,25 @@ def replay_batch(
             # catalog mode owns it at the catalog level (saved below)
             registry_json=None if is_catalog else registry.to_json(),
         )
-        stats["tables"][schema.qualified_name] = mstats
+        return schema.qualified_name, mstats
+
+    items = sorted(registry.relations.items())
+    if is_catalog and len(items) > 1 and cfg.max_parallel_merges > 1:
+        # relations commit to disjoint tables, so their merges are
+        # independent Spark jobs — submit concurrently (driver threads;
+        # the scheduler interleaves stages) instead of a serial loop
+        # that would bottleneck a many-table stream on per-job latency
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(cfg.max_parallel_merges, len(items))
+        ) as ex:
+            for name, mstats in ex.map(lambda kv: _merge_relation(*kv), items):
+                stats["tables"][name] = mstats
+    else:
+        for rel_id, schema in items:
+            name, mstats = _merge_relation(rel_id, schema)
+            stats["tables"][name] = mstats
 
     if is_catalog:
         table.properties["registry"] = registry.to_json()
