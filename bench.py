@@ -13,8 +13,9 @@ its own subprocess (cold JVM) so JIT warm-up can't tilt comparisons.
 Scaling evidence (the N -> 4N executor rule, sandbox proxy): the SAME
 input replayed at BENCH_SCALE_LO vs BENCH_SCALE_HI local threads
 (default 2 -> 8: the rule's 4x ratio at parallelism levels that fit
-beside co-tenant load), at BENCH_SCALE_AMPLIFY (default 3x the headline
-trace — fixed per-epoch seconds amortize). Three figures are reported:
+beside co-tenant load), at BENCH_SCALE_AMPLIFY (default 4x the headline
+trace — fixed per-epoch seconds amortize), with a bounded quiet-window
+wait before each timed rep. Three figures are reported:
 
   efficiency_wall     = (thr_hi / thr_lo) / (cpus_hi / cpus_lo)
   cpu_inflation       = jvm_cpu_hi / jvm_cpu_lo   (same events!)
@@ -33,7 +34,7 @@ the measured same-process inflation factored back out. All raw numbers
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), BENCH_AMPLIFY (default 400),
 BENCH_REPS (default 2), BENCH_SCALE_LO/BENCH_SCALE_HI (default 2/8),
-BENCH_SCALE_AMPLIFY / BENCH_SCALE_REPS (default 3), and
+BENCH_SCALE_AMPLIFY / BENCH_SCALE_REPS (default 2), and
 BENCH_SKIP_SCALING=1 to skip the scaling runs.
 """
 
@@ -56,9 +57,23 @@ AMPLIFY = int(os.environ.get("BENCH_AMPLIFY", "400"))
 #: scale the per-epoch fixed seconds (driver commit, job barriers) are a
 #: far bigger fraction of the run than they would be on the 10^10-event
 #: rule workload, so a bigger input makes the proxy MORE faithful
-SCALE_AMPLIFY = int(os.environ.get("BENCH_SCALE_AMPLIFY", str(AMPLIFY * 3)))
-SCALE_REPS = int(os.environ.get("BENCH_SCALE_REPS", "3"))
+SCALE_AMPLIFY = int(os.environ.get("BENCH_SCALE_AMPLIFY", str(AMPLIFY * 4)))
+SCALE_REPS = int(os.environ.get("BENCH_SCALE_REPS", "2"))
 DECODE_AMPLIFY = max(AMPLIFY // 10, 1)
+
+
+def _wait_quiet(max_wait_s: int = 120, thresh: float | None = None) -> None:
+    """Hold the next timed rep until the host calms down (co-tenant
+    bursts of 8-18 cores were recorded; measuring through one measures
+    the neighbors, not the engine). Bounded wait — worst case we run
+    anyway and the rep's loadavg is reported beside it."""
+    if thresh is None:
+        thresh = (os.cpu_count() or 32) * 0.33
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        if float(open("/proc/loadavg").read().split()[0]) < thresh:
+            return
+        time.sleep(10)
 
 
 def _child_cpu_seconds() -> float:
@@ -148,6 +163,7 @@ def replay_subcommand(trace_dir: str, cpus: int, buckets: int) -> None:
             spark, os.path.join(work, f"lake{rep}"), ["repo", "path"], FIELDS,
             num_buckets=buckets,
         )
+        _wait_quiet()
         c0 = _child_cpu_seconds()
         t0 = time.time()
         replay_batch(
@@ -249,10 +265,13 @@ def main() -> None:
     from wal_listener_spark.streaming.tailing import run_tailing_stream
 
     tail_dir = os.path.join(work, "tail_trace")
-    generator.write_trace(small, tail_dir, num_files=8)  # raw lsn split
+    tail_small = generator.build_trace(
+        spark, SF_DIR, amplify=max(DECODE_AMPLIFY // 4, 1)
+    )
+    generator.write_trace(tail_small, tail_dir, num_files=8)  # raw lsn split
     tail_root = os.path.join(work, "tail_lake")
     LakeTable.create(spark, tail_root, ["repo", "path"], FIELDS, num_buckets=buckets)
-    n_tail = small.filter(F.col("op").isin("I", "U", "D", "T")).count()
+    n_tail = tail_small.filter(F.col("op").isin("I", "U", "D", "T")).count()
     t0 = time.time()
     run_tailing_stream(
         spark, tail_dir, tail_root, os.path.join(work, "tail_ckpt"),
