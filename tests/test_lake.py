@@ -188,3 +188,59 @@ def test_manifest_stays_bounded_over_many_epochs(spark, tmp_path):
         (r["k"], r["v"]) for r in LakeTable.load(spark, root).read_public().collect()
     )
     assert before == after
+
+
+def test_time_travel_reads_old_snapshot(spark, tmp_path):
+    """VERSION AS OF analog: load(root, version=N) sees exactly that
+    snapshot's state; snapshots() lists what's still available."""
+    from wal_listener_spark.lake.table import LakeTable
+
+    root = str(tmp_path / "t")
+    tb = LakeTable.create(spark, root, ["k"], [("k", "string"), ("v", "string")], num_buckets=4)
+    tb.merge_batch(
+        spark.createDataFrame([("a", "v1", 100, "I")], "k string, v string, lsn long, op string"),
+        batch_key="e1", high_lsn=100,
+    )
+    v1 = LakeTable.load(spark, root).manifest["version"]
+    tb = LakeTable.load(spark, root)
+    tb.merge_batch(
+        spark.createDataFrame([("a", "v2", 200, "U")], "k string, v string, lsn long, op string"),
+        batch_key="e2", high_lsn=200,
+    )
+    now = {r["k"]: r["v"] for r in LakeTable.load(spark, root).read_public().collect()}
+    old = {r["k"]: r["v"] for r in LakeTable.load(spark, root, version=v1).read_public().collect()}
+    assert now == {"a": "v2"} and old == {"a": "v1"}
+    assert v1 in LakeTable.snapshots(root)
+
+    # expire old snapshots -> time travel window shrinks
+    LakeTable.load(spark, root).expire_snapshots(keep_last=1)
+    assert v1 not in LakeTable.snapshots(root)
+
+
+def test_catalog_maintenance_all_tables(spark, tmp_path):
+    from wal_listener_spark import pipeline
+    from wal_listener_spark.config import PipelineConfig
+    from wal_listener_spark.lake.catalog import LakeCatalog
+    from wal_listener_spark.trace.generator import TRACE_SCHEMA
+
+    rows = []
+    for rel in (1, 2):
+        rows.append((1 + rel, -1, 0, "R", rel, "public", f"t{rel}",
+                     [("k", 25, True, -1), ("v", 25, False, -1)],
+                     None, None, None, None, None))
+        import datetime
+        ts = datetime.datetime(2024, 1, 1)
+        rows.append((100 * rel, rel, -1, "B", None, None, None, None, None, None, None, ts, None))
+        rows.append((100 * rel + 1, rel, 0, "I", rel, None, None, None, None,
+                     {"k": "a", "v": "x"}, [], None, None))
+        rows.append((100 * rel + 2, rel, 99, "C", None, None, None, None, None, None, None, ts, None))
+    cat = LakeCatalog.create(spark, str(tmp_path / "cat"), num_buckets=4)
+    pipeline.replay_batch(
+        spark.createDataFrame(rows, TRACE_SCHEMA), cat, PipelineConfig(num_buckets=4), "b0"
+    )
+    cat = LakeCatalog.load(spark, str(tmp_path / "cat"))
+    res = cat.compact_all()
+    assert set(res) == {"public_t1", "public_t2"}
+    res2 = cat.expire_snapshots_all(keep_last=1)
+    assert all(r["removed_manifests"] >= 0 for r in res2.values())
+    assert cat.read_public().count() == 2

@@ -131,3 +131,18 @@ class LakeCatalog:
         with open(tmp, "w") as f:
             json.dump(self.state, f)
         os.replace(tmp, os.path.join(self.root, MARKER))
+
+    # --------------------------------------------------------- maintenance
+    def compact_all(self, tombstone_watermark_lsn: int | None = None) -> dict:
+        """Run LakeTable.compact on every relation table."""
+        return {
+            name: self.table(name).compact(tombstone_watermark_lsn)
+            for name in self.table_names()
+        }
+
+    def expire_snapshots_all(self, keep_last: int = 2) -> dict:
+        """Run LakeTable.expire_snapshots on every relation table."""
+        return {
+            name: self.table(name).expire_snapshots(keep_last)
+            for name in self.table_names()
+        }

@@ -104,11 +104,28 @@ class LakeTable:
         return t
 
     @classmethod
-    def load(cls, spark: SparkSession, root: str) -> "LakeTable":
-        with open(os.path.join(root, "manifest", "VERSION")) as f:
-            v = int(f.read().strip())
-        with open(os.path.join(root, "manifest", f"v{v}.json")) as f:
+    def load(
+        cls, spark: SparkSession, root: str, version: int | None = None
+    ) -> "LakeTable":
+        """Open the current snapshot, or time-travel to ``version`` (any
+        manifest expire_snapshots has not removed) — the Iceberg
+        VERSION AS OF analog; snapshots are immutable, so reads against
+        an old version see exactly its file set."""
+        if version is None:
+            with open(os.path.join(root, "manifest", "VERSION")) as f:
+                version = int(f.read().strip())
+        with open(os.path.join(root, "manifest", f"v{version}.json")) as f:
             return cls(spark, root, json.load(f))
+
+    @classmethod
+    def snapshots(cls, root: str) -> list[int]:
+        """Versions still available for time travel."""
+        mdir = os.path.join(root, "manifest")
+        return sorted(
+            int(e[1:-5])
+            for e in os.listdir(mdir)
+            if e.startswith("v") and e.endswith(".json")
+        )
 
     # ---------------------------------------------------------- accessors
     @property

@@ -22,9 +22,20 @@ accounting and merge see only complete transactions.
 Relation/Origin/Type/Truncate rows (tx-less control messages in our
 columnar form) pass through immediately.
 
-State size is bounded by open transactions only (the reference holds
-the same buffer in memory); Spark checkpoints the state store, so a
-crash mid-transaction resumes with the buffer intact.
+State size is bounded by open transactions plus committed-tx markers:
+once a tx commits, a small marker survives so late-arriving rows of
+that tx (a file split mid-tx, listed out of order) still release with
+a Commit copy. For LIVE tails (processingTime trigger) pass
+``marker_ttl_ms`` to purge markers via ProcessingTimeTimeout, keeping
+marker state O(recent txs) instead of O(all txs ever); a row later
+than the TTL quarantines as uncommitted (safe: metered, never applied
+wrong). Bounded availableNow replays run without timeouts — the
+combination of availableNow + state timeouts does not terminate
+cleanly (observed: the query never finishes), and a bounded replay's
+marker count is bounded by its input anyway. The reference holds the
+same buffer in memory (wal.go:21-30) with no marker at all — it
+relies on strict socket order. Spark checkpoints the state store, so
+a crash mid-transaction resumes with the buffer intact.
 """
 
 from __future__ import annotations
@@ -65,7 +76,17 @@ def _empty() -> pd.DataFrame:
     return pd.DataFrame(columns=_COLS)
 
 
-def _assemble(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+def _make_assemble(marker_ttl_ms: int | None):
+    def _assemble(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        return _assemble_impl(key, pdfs, state, marker_ttl_ms)
+
+    return _assemble
+
+
+def _assemble_impl(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState,
+    marker_ttl_ms: int | None = None,
+):
     """Buffer a transaction's rows until its Commit arrives, then release
     the complete transaction (the WAL.Clear() lifecycle).
 
@@ -74,6 +95,12 @@ def _assemble(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     late-arriving rows of that tx release immediately together with a
     copy of the Commit row (so downstream integrity accounting still
     sees a complete transaction in every batch)."""
+    if marker_ttl_ms and state.hasTimedOut:
+        # committed-marker TTL expired: purge (open buffers never set a
+        # timeout, so only markers land here)
+        state.remove()
+        yield _empty()
+        return
     committed = False
     commit_blob: bytes | None = None
     parts: list[pd.DataFrame] = []
@@ -108,23 +135,34 @@ def _assemble(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if tx_less:
             state.remove()
         else:
-            # keep the committed marker (empty buffer) for stragglers
+            # keep the committed marker (empty buffer) for stragglers;
+            # TTL'd in live mode so marker state stays O(recent txs)
             state.update((None, True, commit_blob))
+            if marker_ttl_ms:
+                state.setTimeoutDuration(marker_ttl_ms)
         yield release
     else:
         state.update((_dumps(buffered), False, None))
         yield _empty()
 
 
-def assemble_stream(trace_stream: DataFrame) -> DataFrame:
+def assemble_stream(
+    trace_stream: DataFrame, marker_ttl_ms: int | None = None
+) -> DataFrame:
     """Stateful cross-batch tx assembly: only complete transactions (and
-    tx-less control rows) flow downstream."""
+    tx-less control rows) flow downstream. ``marker_ttl_ms`` enables the
+    committed-marker purge for LIVE (processingTime) tails; leave None
+    under availableNow (module docstring)."""
     return trace_stream.groupBy("tx_id").applyInPandasWithState(
-        _assemble,
+        _make_assemble(marker_ttl_ms),
         outputStructType=TRACE_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if marker_ttl_ms
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
