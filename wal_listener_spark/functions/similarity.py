@@ -105,6 +105,68 @@ def hyperplane_bucket(vec_col, bits: int = 8):
     return bucket
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    cent_ids: list[int],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: a coarse quantizer of ``cent_ids``'
+    vectors partitions the corpus into cells (one broadcast join + one
+    shuffle to build the inverted file — the IVF build pass); each query
+    probes its ``n_probe`` nearest cells, so the scan is
+    O(N * n_probe / n_cells) instead of O(N). The quantizer here is
+    k-means-free (fixed seed vectors — deterministic and
+    oracle-checkable); production swaps in trained centroids behind the
+    same cell-assignment shape. Same output contract as brute_force_topk.
+    """
+    base = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    cents = base.filter(F.col(id_col).isin(cent_ids)).select(
+        F.col(id_col).alias("cid"), F.col("v").alias("cv")
+    )
+    scored_cells = base.join(F.broadcast(cents)).select(
+        id_col, "v", "cid", cosine(F.col("v"), F.col("cv")).alias("ccos")
+    )
+    w_cell = Window.partitionBy(id_col).orderBy(
+        F.col("ccos").desc(), F.col("cid").asc()
+    )
+    ranked = scored_cells.withColumn("crank", F.row_number().over(w_cell))
+    corpus = ranked.filter(F.col("crank") == 1).select(id_col, "v", "cid")
+    probes = (
+        ranked.filter(F.col(id_col).isin(query_ids) & (F.col("crank") <= n_probe))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("cid").alias("qcid"),
+        )
+    )
+    joined = corpus.join(
+        F.broadcast(probes),
+        (F.col("cid") == F.col("qcid")) & (F.col(id_col) != F.col("query_id")),
+    )
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("v")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.floor(F.col("cos") * 10000).cast("bigint").alias("cos_milli"),
+        )
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     query_ids: list[int],

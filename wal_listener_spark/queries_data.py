@@ -20,6 +20,9 @@ ANN_QUERY_IDS = list(range(8))
 ANN_K = 5
 ANN_LSH_BITS = 6
 EMB_DIM = 64  # driver testdata embeddings are 64-dim (TESTDATA.md)
+#: IVF coarse-quantizer seed vectors (k-means-free, deterministic)
+IVF_CENT_IDS = [3 + 64 * i for i in range(8)]
+IVF_N_PROBE = 2
 
 
 def _lsh_plane_weights(bits: int = ANN_LSH_BITS, dim: int = EMB_DIM):
@@ -125,6 +128,14 @@ def q_ann_cosine_topk(spark, sf_dir):
     return similarity.brute_force_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-flat approximate variant: probe the 2 nearest of 8 cells."""
+    return similarity.ivf_topk(
+        _emb(spark, sf_dir), ANN_QUERY_IDS, IVF_CENT_IDS,
+        ANN_K, n_probe=IVF_N_PROBE,
+    )
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate variant (scale path); fully oracled —
     the hyperplanes are deterministic md5 functions DuckDB reproduces."""
@@ -181,6 +192,7 @@ DATA_QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "text_token_count": q_text_token_count,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
@@ -361,6 +373,38 @@ SELECT doc_id,
   ((hits*1000)//n + least(n, 200) - (punct*1000)//nc)::BIGINT AS quality_m
 FROM m""",
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
+        "ann_ivf_topk": f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM base
+          WHERE vec_id IN ({", ".join(map(str, IVF_CENT_IDS))})),
+sc AS (
+  SELECT b.vec_id, b.v, c.cid,
+         list_dot_product(b.v, c.cv) /
+         (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS ccos
+  FROM base b, cents c
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY ccos DESC, cid) AS crank
+  FROM sc
+),
+corpus AS (SELECT vec_id, v, cid FROM rk WHERE crank = 1),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, cid AS qcid FROM rk
+  WHERE crank <= {IVF_N_PROBE}
+    AND vec_id IN ({", ".join(map(str, ANN_QUERY_IDS))})
+),
+s AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         list_dot_product(qv, c.v) /
+         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+  FROM probes p JOIN corpus c ON c.cid = p.qcid AND c.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id,
+       (row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id))::INT AS rank,
+       floor(cos*10000)::BIGINT AS cos_milli
+FROM s
+QUALIFY rank <= {ANN_K}""",
         "dedup_embedding_cosine": f"""
 WITH src AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 corpus AS (
