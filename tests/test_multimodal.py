@@ -52,3 +52,35 @@ def test_pixel_decode_is_declared_stub():
 
     with pytest.raises(NotImplementedError):
         mm.decode_image(mm.make_png(1, b""))
+
+
+def test_resize_rewrites_image_headers():
+    p = mm.make_png(42, b"DATA")
+    r = mm.resize_container(p, 64, 48)
+    meta = mm.parse_container(r)
+    assert (meta["width"], meta["height"]) == (64, 48)
+    assert meta["n_bytes"] == len(p)  # header rewrite, same length
+    # CRC still valid after the rewrite
+    import struct as _s
+    import zlib as _z
+
+    (ln,) = _s.unpack_from(">I", r, 8)
+    (crc,) = _s.unpack_from(">I", r, 16 + ln)
+    assert crc == _z.crc32(r[12 : 16 + ln]) & 0xFFFFFFFF
+    g = mm.resize_container(mm.make_gif(8, b"xy"), 64, 48)
+    gm = mm.parse_container(g)
+    assert (gm["width"], gm["height"]) == (64, 48)
+    w = mm.make_wav(7, b"abcdef")
+    assert mm.resize_container(w, 64, 48) == w  # audio passthrough
+
+
+def test_wav_frame_sampling():
+    data = bytes(range(40))  # 20 stereo... depends on channels of doc 7 (2ch)
+    w = mm.make_wav(7, data)  # ch=2 -> block=4 -> 10 frames
+    s = mm.sample_wav_frames(w, 4)  # keep frames 0,4,8 -> 3 frames = 12 bytes
+    meta = mm.parse_container(s)
+    assert meta["modality"] == "audio/wav"
+    assert meta["n_bytes"] == 44 + 12
+    assert meta["sample_rate"] == mm._sample_rate(7)
+    p = mm.make_png(3, b"x")
+    assert mm.sample_wav_frames(p, 4) == p  # image passthrough

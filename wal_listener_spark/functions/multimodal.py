@@ -163,3 +163,90 @@ def extract_metadata(with_payload: DataFrame) -> DataFrame:
             ]
 
     return with_payload.select("doc_id", "payload").mapInPandas(_extract, META_DDL)
+
+
+def resize_container(payload: bytes, width: int, height: int) -> bytes:
+    """'Resize' at the container level: rewrite the PNG IHDR / GIF
+    screen descriptor to the target dimensions, keeping the data
+    section (a real pixel resample needs PIL — this is the byte-real
+    header path a production resize also rewrites). Non-image
+    containers pass through unchanged."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        (ln,) = struct.unpack_from(">I", payload, 8)
+        body = bytearray(payload[12 : 16 + ln])
+        struct.pack_into(">II", body, 4, width, height)
+        chunk = (
+            struct.pack(">I", ln)
+            + bytes(body)
+            + struct.pack(">I", zlib.crc32(bytes(body)) & 0xFFFFFFFF)
+        )
+        return payload[:8] + chunk + payload[16 + ln + 4 :]
+    if payload[:6] in (b"GIF89a", b"GIF87a"):
+        return (
+            payload[:6] + struct.pack("<HH", width, height) + payload[10:]
+        )
+    return payload
+
+
+def sample_wav_frames(payload: bytes, every_n: int) -> bytes:
+    """Frame-sample a WAV container: keep every Nth sample frame
+    (block_align bytes) of the data section, patching the RIFF/data
+    sizes — the audio analog of video frame sampling. Non-WAV
+    containers pass through unchanged."""
+    if not (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"):
+        return payload
+    pos = 12
+    block = 2
+    out = bytearray(payload[:12])
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", payload, pos + 4)
+        chunk = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            _fmt, ch, _rate = struct.unpack_from("<HHI", chunk, 0)
+            block = max(ch * 2, 1)
+            out += payload[pos : pos + 8 + ln]
+        elif tag == b"data":
+            frames = [
+                chunk[i : i + block]
+                for i in range(0, len(chunk) - len(chunk) % block, block)
+            ]
+            kept = b"".join(frames[::every_n])
+            out += b"data" + struct.pack("<I", len(kept)) + kept
+        else:
+            out += payload[pos : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)
+    struct.pack_into("<I", out, 4, len(out) - 8)
+    return bytes(out)
+
+
+def transform_payloads(
+    with_payload: DataFrame,
+    fn,
+    label: str,
+) -> DataFrame:
+    """mapInPandas shell for payload transforms (resize, frame-sample,
+    future feature extractors): binary in, binary out, same batch shape
+    as extract_metadata."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            out["payload"] = [fn(bytes(p)) for p in pdf["payload"].values]
+            yield out
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        _run, "doc_id bigint, payload binary"
+    )
+
+
+def resize_images(with_payload: DataFrame, width: int, height: int) -> DataFrame:
+    return transform_payloads(
+        with_payload, lambda p: resize_container(p, width, height), "resize"
+    )
+
+
+def frame_sample_audio(with_payload: DataFrame, every_n: int) -> DataFrame:
+    return transform_payloads(
+        with_payload, lambda p: sample_wav_frames(p, every_n), "frame_sample"
+    )

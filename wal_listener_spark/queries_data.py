@@ -184,6 +184,24 @@ def q_mm_decode_meta(spark, sf_dir):
     return multimodal.extract_metadata(with_payload).drop("payload_sha")
 
 
+def q_mm_resize_meta(spark, sf_dir):
+    """Container-level resize (PNG IHDR / GIF screen-descriptor rewrite
+    with a recomputed CRC) then re-parse: images report the target
+    dimensions, audio passes through, byte counts stay closed-form."""
+    wp = multimodal.attach_payload(_docs(spark, sf_dir))
+    resized = multimodal.resize_images(wp, 64, 48)
+    return multimodal.extract_metadata(resized).drop("payload_sha")
+
+
+def q_mm_frame_sample(spark, sf_dir):
+    """WAV frame sampling (keep every 4th block_align frame, RIFF/data
+    sizes patched) then re-parse: the audio byte count shrinks by the
+    closed-form kept-frame count; images pass through."""
+    wp = multimodal.attach_payload(_docs(spark, sf_dir))
+    sampled = multimodal.frame_sample_audio(wp, 4)
+    return multimodal.extract_metadata(sampled).drop("payload_sha")
+
+
 DATA_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -198,6 +216,8 @@ DATA_QUERIES = {
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
     "mm_decode_meta": q_mm_decode_meta,
+    "mm_resize_meta": q_mm_resize_meta,
+    "mm_frame_sample": q_mm_frame_sample,
 }
 
 # ------------------------------------------------------------------ oracles
@@ -438,4 +458,36 @@ SELECT doc_id,
   (octet_length(encode(text)) +
    CASE doc_id%3 WHEN 0 THEN 57 WHEN 1 THEN 44 ELSE 14 END)::BIGINT AS n_bytes
 FROM documents""",
+        # resize: image dims -> 64x48, lengths unchanged, audio untouched
+        "mm_resize_meta": """
+SELECT doc_id,
+  CASE doc_id%3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+       ELSE 'image/gif' END AS modality,
+  (CASE WHEN doc_id%3 IN (0,2) THEN 64 END)::INT AS width,
+  (CASE WHEN doc_id%3 IN (0,2) THEN 48 END)::INT AS height,
+  (CASE WHEN doc_id%3=1 THEN 8000 + (doc_id%5)*8000 END)::INT AS sample_rate,
+  (CASE WHEN doc_id%3=1 THEN 1 + doc_id%2 END)::INT AS channels,
+  (octet_length(encode(text)) +
+   CASE doc_id%3 WHEN 0 THEN 57 WHEN 1 THEN 44 ELSE 14 END)::BIGINT AS n_bytes
+FROM documents""",
+        # frame sample every 4th block (block = 2*channels): the WAV data
+        # section becomes block*ceil((len//block)/4) bytes
+        "mm_frame_sample": """
+WITH m AS (
+  SELECT doc_id, octet_length(encode(text)) AS L,
+         1 + doc_id%2 AS ch
+  FROM documents
+)
+SELECT doc_id,
+  CASE doc_id%3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+       ELSE 'image/gif' END AS modality,
+  (CASE WHEN doc_id%3 IN (0,2) THEN 16 + doc_id%240 END)::INT AS width,
+  (CASE WHEN doc_id%3 IN (0,2) THEN 16 + (doc_id//3)%200 END)::INT AS height,
+  (CASE WHEN doc_id%3=1 THEN 8000 + (doc_id%5)*8000 END)::INT AS sample_rate,
+  (CASE WHEN doc_id%3=1 THEN ch END)::INT AS channels,
+  (CASE WHEN doc_id%3=1
+        THEN 44 + 2*ch * ((L//(2*ch) + 3) // 4)
+        WHEN doc_id%3=0 THEN 57 + L
+        ELSE 14 + L END)::BIGINT AS n_bytes
+FROM m""",
     }
