@@ -1,6 +1,13 @@
 import pytest
+from hypothesis import settings as _hyp_settings
 
 from wal_listener_spark.session import get_spark
+
+# property-test effort: default keeps CI fast; run deeper sweeps with
+#   pytest --hypothesis-profile=soak tests/test_property_merge.py
+_hyp_settings.register_profile("default", max_examples=6)
+_hyp_settings.register_profile("soak", max_examples=40)
+_hyp_settings.load_profile("default")
 
 FIELDS = [
     ("repo", "string"),

@@ -79,14 +79,13 @@ def _build_trace_rows(scripts: dict[int, list[str]]):
 
 
 @settings(
-    max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture,
                            HealthCheck.too_slow],
 )
 @given(
-    scripts=st.dictionaries(st.integers(0, 7), key_script, min_size=1, max_size=8),
-    n_epochs=st.integers(1, 3),
+    scripts=st.dictionaries(st.integers(0, 11), key_script, min_size=1, max_size=10),
+    n_epochs=st.integers(1, 4),
     order_seed=st.randoms(use_true_random=False),
 )
 def test_random_trace_out_of_order_epochs_match_oracle(
