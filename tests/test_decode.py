@@ -177,3 +177,35 @@ def test_framed_roundtrip_matches_oracle(spark, tmp_path):
         got[k].get("stars") == (int(e["stars"]) if e.get("stars") is not None else None)
         for k, e in expected.items()
     )
+
+
+def test_batch_decoder_edge_shapes_match_golden():
+    """Offline (no Spark) parity on shapes the trace generator never
+    emits: empty tuples, zero-length text cells, 'O' old-tuple kind,
+    multi-relation truncate, negative XID, multibyte UTF-8."""
+    import numpy as np
+    import pandas as pd
+
+    frames = [
+        (1, framing.encode_insert(5, [])),
+        (2, framing.encode_insert(5, [("t", b"")])),
+        (3, framing.encode_update(5, [("t", b"x")],
+                                  [("t", b""), ("u", None)], old_kind="O")),
+        (4, framing.encode_delete(5, [("n", None)], old_kind="O")),
+        (5, framing.encode_truncate([7, 8, 9], option=3)),
+        (6, framing.encode_begin(99, 0, -5)),
+        (7, framing.encode_insert(5, [("t", "héllo→".encode())])),
+    ]
+    pdf = pd.DataFrame({
+        "lsn": np.array([f[0] for f in frames], dtype=np.int64),
+        "frame": [f[1] for f in frames],
+    })
+    fast = decode._decode_batch(pdf).reset_index(drop=True)
+    for i, (lsn, fr) in enumerate(frames):
+        gold = decode._decode_one(lsn, fr)
+        for k in decode._COLS:
+            fv, gv = fast.iloc[i][k], gold[k]
+            if k == "commit_ts":
+                assert (pd.isna(fv) and gv is None) or fv == gv, (lsn, k)
+            else:
+                assert (fv is None and gv is None) or fv == gv, (lsn, k, fv, gv)
