@@ -53,6 +53,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALE_LO = int(os.environ.get("BENCH_SCALE_LO", "2"))
 SCALE_HI = int(os.environ.get("BENCH_SCALE_HI", "8"))
 AMPLIFY = int(os.environ.get("BENCH_AMPLIFY", "400"))
+HEADLINE_REPS = int(os.environ.get("BENCH_REPS", "3"))
 #: the scaling pair replays a LARGER trace than the headline: at sandbox
 #: scale the per-epoch fixed seconds (driver commit, job barriers) are a
 #: far bigger fraction of the run than they would be on the 10^10-event
@@ -241,10 +242,14 @@ def main() -> None:
     ).parquet(frames_dir)
     queries["framed_encode_write"] = round(time.time() - t0, 3)
     frames = spark.read.parquet(frames_dir)
-    t0 = time.time()
-    n_frames = decode_op.decode_frames(frames).count()
-    queries["framed_decode"] = round(time.time() - t0, 3)
-    out["framed_decode_fps"] = round(n_frames / queries["framed_decode"], 1)
+    best = None
+    for _ in range(2):  # best-of-2: decode is fast, load noise is not
+        t0 = time.time()
+        n_frames = decode_op.decode_frames(frames).count()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    queries["framed_decode"] = round(best, 3)
+    out["framed_decode_fps"] = round(n_frames / best, 1)
 
     t0 = time.time()
     from wal_listener_spark.queries_data import q_ann_cosine_topk, q_dedup_minhash_lsh
@@ -282,7 +287,7 @@ def main() -> None:
     spark.stop()
 
     # ---- headline replays: isolated cold-JVM subprocesses --------------
-    hi = _run_replay(trace_dir, CPUS, buckets)
+    hi = _run_replay(trace_dir, CPUS, buckets, reps=HEADLINE_REPS)
     # headline = min of reps: least co-tenant interference (all runs +
     # loadavg reported alongside)
     queries[f"replay_local{CPUS}"] = hi["sec_min"]
