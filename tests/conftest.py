@@ -7,6 +7,7 @@ from wal_listener_spark.session import get_spark
 #   pytest --hypothesis-profile=soak tests/test_property_merge.py
 _hyp_settings.register_profile("default", max_examples=6)
 _hyp_settings.register_profile("soak", max_examples=40)
+_hyp_settings.register_profile("soak100", max_examples=100)
 _hyp_settings.load_profile("default")
 
 FIELDS = [
