@@ -91,6 +91,45 @@ def test_truncate_fanout_and_unknown_type_skipped(spark):
     assert sorted(r["rel_id"] for r in fanned) == [1, 2]
 
 
+def test_same_arity_rename_resolves_by_lsn(spark):
+    """A mid-stream column RENAME (same arity) must resolve frames
+    before the rename with the old names and after with the new —
+    parity with the reference's wholesale RelationData replacement per
+    R message (parser.go:71-93). resolve_names versions the registry
+    lookup by the R message's LSN, not only (rel_id, arity)."""
+    frames = [
+        (100, framing.encode_relation(9, "public", "t", [("k", 25, True), ("v", 25, False)])),
+        (110, framing.encode_insert(9, [("t", b"a"), ("t", b"old-style")])),
+        (200, framing.encode_relation(9, "public", "t", [("k", 25, True), ("v2", 25, False)])),
+        (210, framing.encode_insert(9, [("t", b"b"), ("t", b"new-style")])),
+    ]
+    decoded = decode.decode_frames(
+        spark.createDataFrame(frames, "lsn long, frame binary")
+    )
+    reg = RelationRegistry().update_from_trace(
+        decoded.filter("op = 'R'").select(
+            "lsn", "rel_id", "schema_name", "table_name", "rel_columns"
+        )
+    )
+    assert [
+        [c[0] for c in s.columns] for s in reg.versions_of(9)
+    ] == [["k", "v"], ["k", "v2"]]
+    # history survives the manifest JSON round-trip
+    reg2 = RelationRegistry.from_json(reg.to_json())
+    assert [s.columns for s in reg2.versions_of(9)] == [
+        s.columns for s in reg.versions_of(9)
+    ]
+
+    vals = {
+        r["lsn"]: r["new_vals"]
+        for r in decode.resolve_names(decoded, reg2)
+        .filter(F.col("op") == "I")
+        .collect()
+    }
+    assert vals[110] == {"k": "a", "v": "old-style"}
+    assert vals[210] == {"k": "b", "v2": "new-style"}
+
+
 def test_vectorized_matches_reference_decoder(spark):
     """Parity pin: the batch-numpy decoder and the per-frame struct
     golden decoder (`_decode_one`) must agree byte-for-byte on a full

@@ -244,3 +244,28 @@ def test_catalog_maintenance_all_tables(spark, tmp_path):
     res2 = cat.expire_snapshots_all(keep_last=1)
     assert all(r["removed_manifests"] >= 0 for r in res2.values())
     assert cat.read_public().count() == 2
+
+
+def test_committed_batches_pruned_by_recency(spark, tmp_path, monkeypatch):
+    """The epoch no-op guard protects the foreachBatch redelivery
+    frontier = the most RECENTLY committed epochs. Epochs arrive in
+    arbitrary LSN order, so pruning must go by insertion recency — a
+    high-LSN sort could evict the epoch that was just committed."""
+    import wal_listener_spark.lake.table as lt
+
+    monkeypatch.setattr(lt, "BATCH_KEY_RETENTION", 4)
+    tb = _mk(spark, tmp_path)
+    # descending high_lsn: recency order is the OPPOSITE of LSN order
+    for i, hl in enumerate([100, 90, 80, 70, 60, 50]):
+        tb.merge_batch(
+            _changes(spark, [("r1", f"f{i}.py", "c", "py", "x", hl, "I")]),
+            f"b{i}",
+            hl,
+        )
+    cb = tb.properties["committed_batches"]
+    assert list(cb) == ["b2", "b3", "b4", "b5"], cb
+    # the just-committed epoch must no-op on redelivery
+    st = tb.merge_batch(
+        _changes(spark, [("r1", "f5.py", "c", "py", "x", 50, "I")]), "b5", 50
+    )
+    assert st["noop"] and st["reason"] == "replayed_epoch"

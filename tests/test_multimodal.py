@@ -84,3 +84,22 @@ def test_wav_frame_sampling():
     assert meta["sample_rate"] == mm._sample_rate(7)
     p = mm.make_png(3, b"x")
     assert mm.sample_wav_frames(p, 4) == p  # image passthrough
+
+
+def test_truncated_containers_degrade_to_unknown():
+    """A payload truncated AFTER its magic bytes must degrade to
+    unknown-modality metadata, never raise struct.error (which would
+    fail the whole Arrow batch in mapInPandas)."""
+    cases = [
+        b"\x89PNG\r\n\x1a\n",                          # signature only
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR",  # IHDR tag, no body
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDRwxyz",  # 4 of 8 body bytes
+        b"RIFF\x10\x00\x00\x00WAVE",                   # no chunks
+        b"RIFF\x10\x00\x00\x00WAVEfmt \x10\x00\x00\x00\x01\x00",  # fmt cut
+        b"GIF89a",                                     # no screen descriptor
+        b"GIF89a\x40",                                 # half a width
+    ]
+    for p in cases:
+        meta = mm.parse_container(p)  # must not raise
+        assert meta["modality"] == "unknown", p
+        assert meta["n_bytes"] == len(p)

@@ -84,6 +84,51 @@ def test_integrity_violations_frame(spark):
     assert len(v) == 1 and v[0]["has_begin"] == 0
 
 
+def test_allowlist_broadcast_above_threshold(spark):
+    """A ≥100-table allow-list must plan as a broadcast join (constant
+    plan size), not an O(tables) OR-chain — and produce identical rows
+    and skip counters to the expression path."""
+    from wal_listener_spark.operators import filters
+
+    rows = [(op, f"t{i}") for i in range(120) for op in ("I", "U", "D")]
+    df = spark.createDataFrame(rows, "op string, table_name string")
+    # allow insert+update on even-numbered tables only
+    cfg = {f"t{i}": ["insert", "update"] for i in range(0, 120, 2)}
+
+    big, obs_big = filters.allowlist_filter(df, cfg)
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    got_big = sorted((r["op"], r["table_name"]) for r in big.collect())
+
+    import unittest.mock as mock
+
+    with mock.patch.object(filters, "FILTER_BROADCAST_THRESHOLD", 10_000):
+        small, obs_small = filters.allowlist_filter(df, cfg)
+        got_small = sorted((r["op"], r["table_name"]) for r in small.collect())
+    assert got_big == got_small and len(got_big) == 120
+    assert obs_big.get["filter_skipped_events"] == obs_small.get[
+        "filter_skipped_events"
+    ] == 360 - 120
+
+
+def test_stamp_subjects_broadcast_above_threshold(spark):
+    """A large topicsMap must stamp subjects via broadcast join, with
+    overrides and fallback identical to the CASE-chain path."""
+    df = spark.createDataFrame(
+        [("public", "users"), ("public", "other")], "schema string, table string"
+    )
+    tmap = {f"public_x{i}": f"mapped{i}" for i in range(100)}
+    tmap["public_users"] = "custom"
+    out = events.stamp_subjects(df, "STREAM", "", tmap)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    got = {r["subject"] for r in out.collect()}
+    assert got == {"STREAM.custom", "STREAM.public_other"}
+    # small map: same API, expression path
+    out2 = events.stamp_subjects(df, "STREAM", "", {"public_users": "custom"})
+    assert {r["subject"] for r in out2.collect()} == got
+
+
 def test_salted_agg_equals_plain_agg(spark):
     df = spark.range(10000).select(
         (F.col("id") % 5).alias("g"), F.col("id").alias("x")

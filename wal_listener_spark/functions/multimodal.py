@@ -94,7 +94,15 @@ def parse_container(payload: bytes) -> dict:
         "n_bytes": len(payload),
         "payload_sha": hashlib.sha256(payload).hexdigest(),
     }
-    if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+    # length guards before every unpack: a payload truncated AFTER its
+    # magic (e.g. 16-23 bytes of PNG signature+IHDR tag, or a RIFF/WAVE
+    # header cut inside the fmt chunk) must degrade to unknown-modality
+    # metadata, not raise struct.error and fail the whole Arrow batch
+    if (
+        payload[:8] == b"\x89PNG\r\n\x1a\n"
+        and payload[12:16] == b"IHDR"
+        and len(payload) >= 24
+    ):
         w, h = struct.unpack_from(">II", payload, 16)
         meta.update(modality="image/png", width=w, height=h)
     elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -104,13 +112,15 @@ def parse_container(payload: bytes) -> dict:
             tag = payload[pos : pos + 4]
             (ln,) = struct.unpack_from("<I", payload, pos + 4)
             if tag == b"fmt ":
+                if pos + 16 > len(payload):
+                    break  # fmt chunk truncated — stay unknown
                 _fmt, ch, rate = struct.unpack_from("<HHI", payload, pos + 8)
                 meta.update(
                     modality="audio/wav", sample_rate=rate, channels=ch
                 )
                 break
             pos += 8 + ln + (ln & 1)
-    elif payload[:6] in (b"GIF89a", b"GIF87a"):
+    elif payload[:6] in (b"GIF89a", b"GIF87a") and len(payload) >= 10:
         w, h = struct.unpack_from("<HH", payload, 6)
         meta.update(modality="image/gif", width=w, height=h)
     return meta

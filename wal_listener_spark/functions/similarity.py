@@ -75,33 +75,41 @@ def brute_force_topk(
     )
 
 
-def hyperplane_bucket(vec_col, bits: int = 8):
+def plane_weights(bits: int, dim: int) -> list[list[int]]:
+    """Deterministic pseudo-random hyperplane weights: plane p's weight
+    for dimension i = (md5('{p}:{i}') first 4 hex as int) - 32768 —
+    fixed, engine-independent, no RNG state. Computed ONCE driver-side
+    with hashlib (the closed form of the md5 Catalyst expression) and
+    inlined as literals, so the per-row work is just the dot product —
+    not bits*dim constant md5 calls per vector."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:4], 16) - 32768
+            for i in range(dim)
+        ]
+        for p in range(bits)
+    ]
+
+
+def hyperplane_bucket(vec_col, bits: int = 8, dim: int = 64):
     """LSH bucket: sign pattern of the vector against ``bits``
-    deterministic pseudo-random hyperplanes. Plane p's weight for
-    dimension i = (md5('{p}:{i}') first 4 hex as int) - 32768 — fixed,
-    engine-independent, no RNG state."""
-    def plane_dot(p):
-        return F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.sequence(F.lit(0), F.size(vec_col) - 1),
-                lambda x, i: x.cast("double")
-                * (
-                    F.conv(
-                        F.substring(F.md5(F.concat(F.lit(f"{p}:"), i.cast("string"))), 1, 4),
-                        16,
-                        10,
-                    ).cast("double")
-                    - 32768.0
-                ),
-            ),
+    deterministic hyperplanes (see :func:`plane_weights`). The weights
+    are literal double arrays, so each plane test is one codegen'd
+    zip_with/aggregate fold over the vector — identical values and fold
+    order to the previous in-expression md5 form (weights are exact
+    integers, losslessly representable as doubles)."""
+    weights = plane_weights(bits, dim)
+    bucket = F.lit(0).cast("bigint")
+    for p in range(bits):
+        warr = F.array(*[F.lit(float(w)) for w in weights[p]])
+        pd = F.aggregate(
+            F.zip_with(vec_col, warr, lambda x, w: x.cast("double") * w),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-
-    bucket = F.lit(0).cast("bigint")
-    for p in range(bits):
-        bucket = bucket + F.when(plane_dot(p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bucket + F.when(pd > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
 
 

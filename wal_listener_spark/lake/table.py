@@ -265,16 +265,24 @@ class LakeTable:
         if not prebucketed:
             chg = chg.withColumn(BUCKET_COL, _bucket_expr(key_cols, self.num_buckets))
         observation = None
+        persisted = None
         if selective and truncate_lsn is None:
             # one materialization of the (expensive) upstream pipeline,
             # reused by the stats pass and the merge join/write (the
             # cache preserves the bucket partitioning for the join below)
             chg = chg.persist()
-            stats_row = chg.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("nd"),
-                F.collect_set(BUCKET_COL).alias("bks"),
-            ).collect()[0]
+            persisted = chg
+            try:
+                stats_row = chg.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("nd"),
+                    F.collect_set(BUCKET_COL).alias("bks"),
+                ).collect()[0]
+            except BaseException:
+                # don't leak the cached frame into the executor cache if
+                # the stats job dies (foreachBatch retries would pile up)
+                persisted.unpersist()
+                raise
             n_changes = stats_row["n"]
             n_deletes = stats_row["nd"] or 0
             affected = list(stats_row["bks"])
@@ -402,11 +410,16 @@ class LakeTable:
             result = result.repartition(max(len(affected), 1), F.col(BUCKET_COL))
         # prebucketed: join output is already bucket-partitioned — the
         # write's per-task dynamic partitioning needs no extra shuffle
-        (
-            result.write.partitionBy(BUCKET_COL)
-            .mode("overwrite")
-            .parquet(out_dir)
-        )
+        try:
+            (
+                result.write.partitionBy(BUCKET_COL)
+                .mode("overwrite")
+                .parquet(out_dir)
+            )
+        except BaseException:
+            if persisted is not None:
+                persisted.unpersist()
+            raise
 
         # collect per-bucket files + row counts (lineage)
         new_buckets: dict[str, list[str]] = {}
@@ -432,8 +445,8 @@ class LakeTable:
             m = observation.get  # filled by the write job above
             n_changes = m["n"]
             n_deletes = m["nd"] or 0
-        else:
-            chg.unpersist()
+        if persisted is not None:
+            persisted.unpersist()
         stats = {
             "batch_key": batch_key,
             "noop": False,
@@ -452,11 +465,15 @@ class LakeTable:
         if eff_trunc >= 0:
             props["truncate_lsn"] = eff_trunc
         cb = dict(props.get("committed_batches", {}))
+        cb.pop(batch_key, None)  # re-insert at the end (most recent)
         cb[batch_key] = high_lsn
         if len(cb) > BATCH_KEY_RETENTION:
-            keep = sorted(cb, key=lambda k: cb[k], reverse=True)[
-                :BATCH_KEY_RETENTION
-            ]
+            # prune by insertion recency, NOT by high_lsn: epochs arrive
+            # in arbitrary LSN order, and the no-op guard protects the
+            # foreachBatch redelivery frontier — the most RECENTLY
+            # committed keys. (dict / JSON object order is insertion
+            # order, preserved across manifest round-trips.)
+            keep = list(cb)[-BATCH_KEY_RETENTION:]
             cb = {k: cb[k] for k in keep}
         props["committed_batches"] = cb
         if registry_json is not None:

@@ -447,27 +447,47 @@ def resolve_names(decoded: DataFrame, registry: RelationRegistry) -> DataFrame:
     the framed path feeds the exact same downstream pipeline. Rows whose
     (rel_id, arity) has no registry entry get NULL maps — the
     errRelationNotFound quarantine case (wal.go:32).
+
+    Versioned by LSN: each registry version is valid for the half-open
+    LSN range [its R message's lsn, next version's lsn) — the earliest
+    version extends back to -inf (seeded registries), the latest forward
+    to +inf. A frame joins the version in force AT ITS LSN, so a
+    same-arity column RENAME mid-stream resolves old frames with the old
+    names and new frames with the new — parity with the reference's
+    wholesale RelationData replacement per R message (parser.go:71-93).
+    Additive-evolution prefixes of each version also resolve (frames
+    with fewer cells than the version's arity, for seeded registries).
     """
     spark = decoded.sparkSession
+    LO, HI = -(1 << 62), 1 << 62
     versions = []
-    for s in registry.relations.values():
-        names = [c[0] for c in s.columns]
-        versions.append((s.rel_id, len(names), names))
-        # additive-evolution prefixes also resolve (older frames have
-        # fewer cells than the latest relation version)
-        for arity in range(1, len(names)):
-            versions.append((s.rel_id, arity, names[:arity]))
+    for rel_id in registry.relations:
+        vs = registry.versions_of(rel_id)
+        for k, s in enumerate(vs):
+            lo = LO if k == 0 else vs[k].lsn
+            hi = vs[k + 1].lsn if k + 1 < len(vs) else HI
+            names = [c[0] for c in s.columns]
+            for arity in range(1, len(names) + 1):
+                versions.append((rel_id, arity, names[:arity], lo, hi))
     vdf = spark.createDataFrame(
-        versions, "v_rel_id int, arity int, col_names array<string>"
-    ).dropDuplicates(["v_rel_id", "arity"])
+        versions,
+        "v_rel_id int, v_arity int, col_names array<string>, "
+        "v_lo long, v_hi long",
+    )
 
     d = decoded.withColumn(
         "arity",
         F.coalesce(F.size("new_cell_tags"), F.size("old_cell_tags")).cast("int"),
     )
+    # equi-keys (rel_id, arity) drive the broadcast hash join; the LSN
+    # range is a residual filter on the (tiny) matched build rows —
+    # ranges are disjoint per (rel_id, arity), so at most one row matches
     joined = d.join(
         F.broadcast(vdf),
-        (d["rel_id"] == vdf["v_rel_id"]) & (d["arity"] == vdf["arity"]),
+        (d["rel_id"] == vdf["v_rel_id"])
+        & (d["arity"] == vdf["v_arity"])
+        & (d["lsn"] >= vdf["v_lo"])
+        & (d["lsn"] < vdf["v_hi"]),
         "left",
     )
 

@@ -36,6 +36,12 @@ def deterministic_event_id(lsn_col: Column, seq_col: Column) -> Column:
     )
 
 
+#: above this many topicsMap entries subject stamping switches from a
+#: CASE chain to a broadcast join (same Catalyst-analysis blow-up and
+#: fix as pipeline.stamp_table_names / filters.allowlist_filter)
+TOPICS_BROADCAST_THRESHOLD = 16
+
+
 def subject_name(
     schema_col: Column,
     table_col: Column,
@@ -43,12 +49,56 @@ def subject_name(
     topic_prefix: str = "",
     topics_map: dict[str, str] | None = None,
 ) -> Column:
-    """event.go:24-36: topic '.' prefix + (map override or schema_table)."""
+    """event.go:24-36: topic '.' prefix + (map override or schema_table).
+    Expression form — for small maps; use :func:`stamp_subjects` for a
+    DataFrame-level variant that broadcast-joins large maps."""
     schema_table = F.concat(schema_col, F.lit("_"), table_col)
     mapped = schema_table
     for k, v in (topics_map or {}).items():
         mapped = F.when(schema_table == k, F.lit(v)).otherwise(mapped)
     return F.concat(F.lit(topic), F.lit("."), F.lit(topic_prefix), mapped)
+
+
+def stamp_subjects(
+    df: DataFrame,
+    topic: str,
+    topic_prefix: str = "",
+    topics_map: dict[str, str] | None = None,
+    schema_col: str = "schema",
+    table_col: str = "table",
+    out_col: str = "subject",
+) -> DataFrame:
+    """Append the broker subject column for a multi-relation event
+    stream. Small maps fold into a CASE expression; above
+    TOPICS_BROADCAST_THRESHOLD the override map becomes a broadcast
+    left join on schema_table (constant-size plan, no payload shuffle)."""
+    topics_map = topics_map or {}
+    if len(topics_map) <= TOPICS_BROADCAST_THRESHOLD:
+        return df.withColumn(
+            out_col,
+            subject_name(
+                F.col(schema_col), F.col(table_col), topic, topic_prefix, topics_map
+            ),
+        )
+    m = df.sparkSession.createDataFrame(
+        sorted(topics_map.items()), "__schema_table string, __mapped string"
+    )
+    df = df.withColumn(
+        "__schema_table", F.concat(F.col(schema_col), F.lit("_"), F.col(table_col))
+    )
+    return (
+        df.join(F.broadcast(m), "__schema_table", "left")
+        .withColumn(
+            out_col,
+            F.concat(
+                F.lit(topic),
+                F.lit("."),
+                F.lit(topic_prefix),
+                F.coalesce(F.col("__mapped"), F.col("__schema_table")),
+            ),
+        )
+        .drop("__schema_table", "__mapped")
+    )
 
 
 def to_events(
@@ -59,7 +109,14 @@ def to_events(
     topic_prefix: str = "",
     topics_map: dict[str, str] | None = None,
 ) -> DataFrame:
-    """Raw trace rows (with text maps) -> canonical event frame."""
+    """Raw trace rows (with text maps) -> canonical event frame.
+
+    schema/table are per-call literals here, so the topicsMap override
+    resolves driver-side (a dict get) — no CASE chain, no join,
+    regardless of map size."""
+    schema_table = f"{schema_name}_{table_name}"
+    mapped = (topics_map or {}).get(schema_table, schema_table)
+    subject = f"{topic}.{topic_prefix}{mapped}"
     return changes.filter(F.col("op").isin("I", "U", "D", "T")).select(
         deterministic_event_id(F.col("lsn"), F.col("seq")).alias("id"),
         F.lit(schema_name).alias("schema"),
@@ -68,9 +125,7 @@ def to_events(
         F.col("new_vals").alias("data"),
         F.col("old_vals").alias("data_old"),
         F.col("commit_ts").alias("event_time"),
-        subject_name(
-            F.lit(schema_name), F.lit(table_name), topic, topic_prefix, topics_map
-        ).alias("subject"),
+        F.lit(subject).alias("subject"),
         F.col("lsn"),
         F.col("seq"),
     )

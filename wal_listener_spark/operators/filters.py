@@ -18,6 +18,13 @@ from pyspark.sql import functions as F
 
 OP_TO_ACTION = {"I": "insert", "U": "update", "D": "delete", "T": "truncate"}
 
+#: above this many configured tables the allow-list switches from an
+#: OR-chain predicate to a broadcast semi-join — a chain of hundreds of
+#: branches costs O(tables) Catalyst analysis per query (same blow-up
+#: pipeline.stamp_table_names hit), while the join is a constant-size
+#: plan with a tiny broadcast relation and no payload shuffle
+FILTER_BROADCAST_THRESHOLD = 16
+
 
 def action_col(op_col="op"):
     c = F.col(op_col)
@@ -44,11 +51,27 @@ def allowlist_filter(
 
     normalized = {t: [a.lower() for a in acts] for t, acts in table_actions.items()}
     df = df.withColumn("__action", action_col())
-    cond = F.lit(False)
-    for table, actions in normalized.items():
-        cond = cond | (
-            (F.col(table_col) == table) & F.col("__action").isin(actions)
+
+    if len(normalized) > FILTER_BROADCAST_THRESHOLD:
+        # broadcast the (table, action) allow pairs and keep rows that
+        # match — the marker column doubles as the skip predicate for
+        # the observe() counters, so semantics match the OR-chain path
+        pairs = sorted(
+            {(t, a) for t, acts in normalized.items() for a in acts}
         )
+        allow = df.sparkSession.createDataFrame(
+            pairs, f"{table_col} string, __action string"
+        ).withColumn("__allowed", F.lit(True))
+        df = df.join(F.broadcast(allow), [table_col, "__action"], "left")
+        cond = F.col("__allowed").isNotNull()
+        drop_cols = ["__action", "__allowed"]
+    else:
+        cond = F.lit(False)
+        for table, actions in normalized.items():
+            cond = cond | (
+                (F.col(table_col) == table) & F.col("__action").isin(actions)
+            )
+        drop_cols = ["__action"]
 
     obs = None
     if observe:
@@ -58,4 +81,4 @@ def allowlist_filter(
             F.count(F.lit(1)).alias("events_total"),
             F.sum(F.when(~cond, 1).otherwise(0)).alias("filter_skipped_events"),
         )
-    return df.filter(cond).drop("__action"), obs
+    return df.filter(cond).drop(*drop_cols), obs

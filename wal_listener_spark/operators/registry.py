@@ -80,9 +80,29 @@ class RelationSchema:
 @dataclass
 class RelationRegistry:
     """rel_id -> latest RelationSchema; persists across micro-batches
-    (the RelationStore survives ``WAL.Clear()`` — wal.go:48-52)."""
+    (the RelationStore survives ``WAL.Clear()`` — wal.go:48-52).
+
+    ``history`` additionally keeps every distinct schema VERSION per
+    relation (ordered by the R message's LSN). The reference replaces
+    the whole RelationData on every R message (parser.go:71-93), so a
+    same-arity column RENAME resolves correctly there; keeping the
+    version history lets resolve_names pick the version in force at
+    each frame's LSN and match that behavior — not just additive
+    evolution. History grows only when the schema actually changes
+    (identical re-sent R messages fold into the current version)."""
 
     relations: dict[int, RelationSchema] = field(default_factory=dict)
+    history: dict[int, list[RelationSchema]] = field(default_factory=dict)
+
+    def versions_of(self, rel_id: int) -> list[RelationSchema]:
+        """All known schema versions for a relation, oldest first.
+        Registries seeded directly via ``relations`` (tests, manual
+        bootstrap) fall back to their single latest version."""
+        hist = self.history.get(rel_id)
+        if hist:
+            return hist
+        s = self.relations.get(rel_id)
+        return [s] if s is not None else []
 
     def update_from_trace(self, trace: DataFrame) -> "RelationRegistry":
         """Fold this batch's 'R' rows (tiny control stream) into the
@@ -105,24 +125,40 @@ class RelationRegistry:
             cur = self.relations.get(r["rel_id"])
             if cur is not None and cur.lsn >= r["lsn"]:
                 continue
-            self.relations[r["rel_id"]] = RelationSchema(
+            s = RelationSchema(
                 rel_id=r["rel_id"],
                 schema_name=r["schema_name"],
                 table_name=r["table_name"],
                 columns=cols,
                 lsn=r["lsn"],
             )
+            hist = self.history.setdefault(r["rel_id"], [cur] if cur else [])
+            # identical re-sent R (session start re-announces relations):
+            # the existing version continues — keep its ORIGINAL lsn,
+            # which anchors the version's validity-range start
+            if not (hist and hist[-1].columns == s.columns):
+                hist.append(s)
+            self.relations[r["rel_id"]] = s
         return self
 
     def to_json(self) -> list[dict]:
-        return [s.to_json_dict() for s in self.relations.values()]
+        """Every version, oldest-first per relation (bounded: versions
+        append only on actual schema change). Older manifests carrying
+        one entry per relation load unchanged through from_json."""
+        out: list[dict] = []
+        for rel_id in self.relations:
+            out.extend(s.to_json_dict() for s in self.versions_of(rel_id))
+        return out
 
     @staticmethod
     def from_json(items: list[dict]) -> "RelationRegistry":
         reg = RelationRegistry()
-        for d in items or []:
+        for d in sorted(items or [], key=lambda d: d.get("lsn", 0)):
             s = RelationSchema.from_json_dict(d)
             reg.relations[s.rel_id] = s
+            hist = reg.history.setdefault(s.rel_id, [])
+            if not (hist and hist[-1].columns == s.columns):
+                hist.append(s)
         return reg
 
 

@@ -27,18 +27,9 @@ IVF_N_PROBE = 2
 
 def _lsh_plane_weights(bits: int = ANN_LSH_BITS, dim: int = EMB_DIM):
     """The SAME deterministic hyperplane weights similarity.
-    hyperplane_bucket derives in Catalyst (md5-hex prefix minus 32768),
-    computed here with hashlib so the DuckDB oracle can inline them as
-    literals — the closed form of the Spark expression."""
-    import hashlib
-
-    return [
-        [
-            int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:4], 16) - 32768
-            for i in range(dim)
-        ]
-        for p in range(bits)
-    ]
+    hyperplane_bucket inlines as Catalyst literals, reused verbatim so
+    the DuckDB oracle and the Spark plan share one closed form."""
+    return similarity.plane_weights(bits, dim)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
