@@ -119,3 +119,58 @@ def test_kafka_writer_builds_unstarted(spark):
         stream, "broker:9092", "/tmp/nope", message_key_from="repo"
     )
     assert writer is not None  # unstarted DataStreamWriter
+
+
+def test_kafka_loopback_contract(spark, tmp_path):
+    """Start the Kafka payload stream against a foreachBatch loopback
+    (no broker needed) and assert the exact per-epoch (key, value,
+    topic) rows the producer would publish (kafka.go:110-153): key =
+    messageKeyFrom field falling back to table (kafka.go:120-128),
+    topic = the routed subject incl. topicsMap override (event.go:24-36)."""
+    import datetime
+    import json
+
+    from wal_listener_spark.operators import events as events_op
+    from wal_listener_spark.operators.sink import kafka_payload
+    from wal_listener_spark.trace.generator import TRACE_SCHEMA
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        (17, 1, 0, "I", 1, None, None, None, None,
+         {"repo": "r1", "path": "a.py"}, [], ts, None),
+        (18, 1, 1, "D", 1, None, None, None, {"repo": "r1"}, None, [], ts, None),
+    ]
+    ev = events_op.to_events(
+        spark.createDataFrame(rows, TRACE_SCHEMA),
+        "public", "repos",
+        topic="STREAM", topic_prefix="p_",
+        topics_map={"public_repos": "custom"},
+    )
+    src = str(tmp_path / "events")
+    ev.write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    payload = kafka_payload(stream, message_key_from="repo")
+    got: list[tuple] = []
+
+    def _collect(df, _bid):
+        got.extend((r["key"], r["topic"], r["value"]) for r in df.collect())
+
+    q = (
+        payload.writeStream.foreachBatch(_collect)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert len(got) == 2
+    by_action = {json.loads(v)["action"]: (k, t, json.loads(v)) for k, t, v in got}
+    # INSERT: key from data[messageKeyFrom]
+    k, t, v = by_action["INSERT"]
+    assert k == "r1" and t == "STREAM.p_custom"
+    assert v["data"] == {"repo": "r1", "path": "a.py"} and v["table"] == "repos"
+    # DELETE: no data map -> key falls back to table
+    k, t, v = by_action["DELETE"]
+    assert k == "repos" and t == "STREAM.p_custom"
+    assert v["data_old"] == {"repo": "r1"} and "commitTime" in v

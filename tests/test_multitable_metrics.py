@@ -206,3 +206,80 @@ def test_parallel_relation_merges_match_serial(spark, tmp_path):
         }
     assert results[1] == results[4]
     assert results[4]["public_t3"] == [("k0", "r3i0"), ("k1", "r3i1"), ("k2", "r3i2")]
+
+
+def test_problematic_kinds_publish_and_ack(spark, tmp_path, monkeypatch):
+    """problematic_events_total{kind} parity (metrics.go:21-59,
+    listener.go:397-428): a failed merge meters kind=publish, a failed
+    snapshot commit (the ack analog) meters kind=ack; both re-raise so
+    the epoch retries from the checkpoint."""
+    import pytest
+
+    import wal_listener_spark.streaming.job as sj
+    from wal_listener_spark.operators.registry import RelationRegistry
+    from wal_listener_spark.streaming.job import run_replay_stream, write_tx_aligned
+
+    rows = [_rel(1, 1, "repos", ["k", "content"])]
+    _tx(rows, 10, 1, 100, {"k": "a", "content": "c1"})
+    trace = spark.createDataFrame(rows, TRACE_SCHEMA)
+    trace_dir = str(tmp_path / "trace")
+    write_tx_aligned(trace, trace_dir, 1)
+
+    def _mk_table(name):
+        tb = LakeTable.create(
+            spark, str(tmp_path / name), ["k"],
+            [("k", "string"), ("content", "string")], num_buckets=4,
+        )
+        # pre-seed the registry so run_replay_stream's bootstrap commit
+        # happens before any failure injection
+        reg = RelationRegistry().update_from_trace(trace)
+        tb.properties["registry"] = reg.to_json()
+        tb.save_properties()
+        return tb
+
+    # kind=publish: the merge path blows up
+    _mk_table("t_pub")
+    log_pub = MetricsLog(str(tmp_path / "m_pub.jsonl"))
+    with monkeypatch.context() as m:
+        def _boom(*a, **k):
+            raise RuntimeError("merge blew up")
+
+        m.setattr(sj, "replay_batch", _boom)
+        with pytest.raises(Exception):
+            run_replay_stream(
+                spark, trace_dir, str(tmp_path / "t_pub"),
+                str(tmp_path / "ck_pub"), PipelineConfig(num_buckets=4),
+                metrics=log_pub,
+            )
+    assert log_pub.problem_counts().get("publish", 0) >= 1
+
+    # kind=ack: the snapshot commit fails
+    from wal_listener_spark.lake.table import AckCommitError
+
+    _mk_table("t_ack")
+    log_ack = MetricsLog(str(tmp_path / "m_ack.jsonl"))
+    with monkeypatch.context() as m:
+        def _noack(self):
+            raise AckCommitError("simulated VERSION swap failure")
+
+        m.setattr(LakeTable, "_commit_manifest", _noack)
+        with pytest.raises(Exception):
+            run_replay_stream(
+                spark, trace_dir, str(tmp_path / "t_ack"),
+                str(tmp_path / "ck_ack"), PipelineConfig(num_buckets=4),
+                metrics=log_ack,
+            )
+    assert log_ack.problem_counts().get("ack", 0) >= 1
+
+    # healthy run: counters recorded, no problems
+    _mk_table("t_ok")
+    log_ok = MetricsLog(str(tmp_path / "m_ok.jsonl"))
+    st = run_replay_stream(
+        spark, trace_dir, str(tmp_path / "t_ok"),
+        str(tmp_path / "ck_ok"), PipelineConfig(num_buckets=4),
+        metrics=log_ok,
+    )
+    assert st and not log_ok.problem_counts()
+    assert any(
+        e["kind"] == "published_events_total" for e in log_ok.read_all()
+    )

@@ -61,6 +61,13 @@ CLSN_PREFIX = "__clsn_"
 BATCH_KEY_RETENTION = 64
 
 
+class AckCommitError(RuntimeError):
+    """The snapshot commit (manifest/VERSION swap — our standby-status
+    ack, listener.go:525-533) failed. Distinguished from merge/publish
+    failures so problematic_events_total{kind} can meter them apart
+    (metrics.go:21-59: parse / publish / ack)."""
+
+
 def _bucket_expr(key_cols: list[str], num_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets))
 
@@ -600,15 +607,18 @@ class LakeTable:
         listener.go:525-533)."""
         v = self.manifest["version"]
         mdir = os.path.join(self.root, "manifest")
-        os.makedirs(mdir, exist_ok=True)
-        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
-        with open(tmp, "w") as f:
-            json.dump(self.manifest, f)
-        os.replace(tmp, os.path.join(mdir, f"v{v}.json"))
-        tmp2 = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp2, "w") as f:
-            f.write(str(v))
-        os.replace(tmp2, os.path.join(mdir, "VERSION"))
+        try:
+            os.makedirs(mdir, exist_ok=True)
+            tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
+            with open(tmp, "w") as f:
+                json.dump(self.manifest, f)
+            os.replace(tmp, os.path.join(mdir, f"v{v}.json"))
+            tmp2 = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp2, "w") as f:
+                f.write(str(v))
+            os.replace(tmp2, os.path.join(mdir, "VERSION"))
+        except OSError as e:
+            raise AckCommitError(f"snapshot commit failed for v{v}: {e}") from e
 
     def save_properties(self) -> None:
         self.manifest["version"] += 1

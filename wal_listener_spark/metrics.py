@@ -36,14 +36,49 @@ class MetricsLog:
         with open(self.path, "a") as f:
             f.write(json.dumps({"kind": kind, **payload}) + "\n")
 
+    def record_problem(
+        self,
+        kind: str,
+        batch_key: str | None = None,
+        n: int = 1,
+        error: str | None = None,
+        reason: str | None = None,
+    ) -> None:
+        """problematic_events_total{kind} parity (metrics.go:21-59).
+        Kinds mirror the reference's listener loop (listener.go:397-428):
+        ``parse`` (undecodable/integrity-violating input), ``publish``
+        (the merge — our publish — failed), ``ack`` (the snapshot commit
+        — our standby-status ack — failed). The metric name rides the
+        envelope ``kind``; the label lives under ``problem_kind``."""
+        payload: dict[str, Any] = {"problem_kind": kind, "n": n}
+        if batch_key is not None:
+            payload["batch_key"] = batch_key
+        if error is not None:
+            payload["error"] = error[:500]
+        if reason is not None:
+            payload["reason"] = reason
+        self.record("problematic_events_total", payload)
+
+    def problem_counts(self) -> dict[str, int]:
+        """Aggregated problematic_events_total by problem kind."""
+        out: dict[str, int] = {}
+        for e in self.read_all():
+            if e.get("kind") != "problematic_events_total":
+                continue
+            k = e.get("problem_kind", "unknown")
+            out[k] = out.get(k, 0) + int(e.get("n", 1))
+        return out
+
     def record_batch(self, stats: dict) -> None:
         """Flatten replay_batch stats into counter entries mirroring the
         reference metric names."""
         base = {"batch_key": stats.get("batch_key")}
         if stats.get("quarantined"):
-            self.record(
-                "problematic_events_total",
-                {**base, "reason": "uncommitted_tx", "n": stats["quarantined"]},
+            self.record_problem(
+                "parse",
+                batch_key=stats.get("batch_key"),
+                n=stats["quarantined"],
+                reason="uncommitted_tx",
             )
         fm = stats.get("filter_metrics") or {}
         if fm.get("filter_skipped_events"):

@@ -67,24 +67,18 @@ def publish_events(
     )
 
 
-def kafka_writer(
+def kafka_payload(
     event_stream: DataFrame,
-    bootstrap_servers: str,
-    checkpoint_dir: str,
     message_key_from: str | None = None,
-):
-    """The real broker codepath (K1): ``writeStream.format("kafka")``
-    with the reference's key/topic semantics — key = messageKeyFrom
-    field else table (kafka.go:120-128), topic = the event's routed
-    subject (event.go:24-36). Returns the unstarted DataStreamWriter.
-
-    NOT executed in this sandbox (no broker, and the kafka-sql connector
-    jar is not on the classpath) — the parquet event feed above is the
-    tested stand-in with identical partitioning semantics. On a cluster:
-    ``kafka_writer(stream, "broker:9092", "/ckpt").start()``.
-    """
+) -> DataFrame:
+    """The exact (key, value, topic) rows the Kafka producer publishes
+    (kafka.go:110-153): key = messageKeyFrom field from Data falling
+    back to table (kafka.go:120-128), value = the JSON event, topic =
+    the routed subject (event.go:24-36). Shared by the real broker
+    writer below and the loopback contract test — what a broker would
+    receive is asserted per epoch even without one."""
     keyed = with_message_key(event_stream, message_key_from)
-    payload = keyed.select(
+    return keyed.select(
         F.col("message_key").cast("string").alias("key"),
         F.to_json(
             F.struct("id", "schema", "table", "action", "data", "data_old",
@@ -92,8 +86,27 @@ def kafka_writer(
         ).alias("value"),
         F.col("subject").alias("topic"),
     )
+
+
+def kafka_writer(
+    event_stream: DataFrame,
+    bootstrap_servers: str,
+    checkpoint_dir: str,
+    message_key_from: str | None = None,
+):
+    """The real broker codepath (K1): ``writeStream.format("kafka")``
+    over :func:`kafka_payload`. Returns the unstarted DataStreamWriter.
+
+    ``.start()`` NOT executed in this sandbox (no broker, and the
+    kafka-sql connector jar is not on the classpath) — the foreachBatch
+    loopback test (test_maintenance_sink.py) starts the same payload
+    stream and asserts the per-epoch (key, value, topic) rows; the
+    parquet event feed above is the hash-partitioner stand-in. On a
+    cluster: ``kafka_writer(stream, "broker:9092", "/ckpt").start()``.
+    """
     return (
-        payload.writeStream.format("kafka")
+        kafka_payload(event_stream, message_key_from)
+        .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("checkpointLocation", checkpoint_dir)
     )

@@ -53,6 +53,7 @@ def run_replay_stream(
     max_files_per_trigger: int | None = None,
     fail_at_batch: int | None = None,
     timeout_sec: int | None = None,
+    metrics: "MetricsLog | None" = None,
 ) -> list[dict]:
     """Replay the trace directory into the lake table, exactly-once.
 
@@ -60,6 +61,12 @@ def run_replay_stream(
     (default: one availableNow epoch). ``fail_at_batch`` injects a crash
     before that epoch's checkpoint commit — the kill/resume test hook.
     Returns per-epoch stats.
+
+    ``metrics``: optional MetricsLog. Per-epoch counters are recorded on
+    success; failures are metered as problematic_events_total by kind
+    (listener.go:397-428 parity): ``ack`` when the snapshot commit threw
+    (AckCommitError), ``publish`` for any other merge-path failure —
+    then re-raised so the epoch is retried from the checkpoint.
     """
     cfg = cfg or PipelineConfig()
     stats: list[dict] = []
@@ -88,11 +95,25 @@ def run_replay_stream(
         table.save_properties()
 
     def _apply(batch_df, batch_id: int) -> None:
+        from ..lake.table import AckCommitError
+
         if fail_at_batch is not None and batch_id >= fail_at_batch:
             raise RuntimeError(f"injected crash at epoch {batch_id}")
         table = load_target(spark, table_root)
-        s = replay_batch(batch_df, table, cfg, batch_key=f"epoch-{batch_id}")
+        key = f"epoch-{batch_id}"
+        try:
+            s = replay_batch(batch_df, table, cfg, batch_key=key)
+        except AckCommitError as e:
+            if metrics is not None:
+                metrics.record_problem("ack", batch_key=key, error=str(e))
+            raise
+        except Exception as e:
+            if metrics is not None:
+                metrics.record_problem("publish", batch_key=key, error=str(e))
+            raise
         stats.append(s)
+        if metrics is not None:
+            metrics.record_batch(s)
 
     reader = spark.readStream.schema(TRACE_SCHEMA)
     if max_files_per_trigger:
