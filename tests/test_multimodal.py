@@ -47,11 +47,69 @@ def test_unknown_container_degrades():
     assert meta["n_bytes"] == 9
 
 
-def test_pixel_decode_is_declared_stub():
+def test_pixel_decode_roundtrip_all_filters():
+    """Real zlib+numpy pixel decode: encode with mixed None/Sub/Up
+    scanline filters, decode, compare to the closed form pixel-by-pixel.
+    doc_ids chosen so each of the three filter types appears."""
+    import numpy as np
+
+    for doc_id in (0, 1, 2, 77):
+        px = mm.decode_image(mm.make_png_pixels(doc_id))
+        w, h = mm._width(doc_id), mm._height(doc_id)
+        assert px.shape == (h, w)
+        xs = np.arange(w)
+        for y in (0, 1, h // 2, h - 1):
+            assert np.array_equal(px[y], (xs + y + doc_id) % 256), (doc_id, y)
+    # container headers of the pixel PNG parse like any other PNG
+    meta = mm.parse_container(mm.make_png_pixels(5))
+    assert meta["modality"] == "image/png"
+    assert (meta["width"], meta["height"]) == (mm._width(5), mm._height(5))
+
+
+def test_pixel_decode_average_and_paeth_filters():
+    """Filters 3 (Average) and 4 (Paeth) decode too — hand-built frames
+    encoded against the PNG spec definitions."""
+    import struct as _s
+    import zlib as _z
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(4, 6)).astype(np.int64)
+    rows = []
+    for y in range(4):
+        f = 3 if y % 2 else 4
+        row = bytearray([f])
+        for x in range(6):
+            a = int(px[y, x - 1]) if x else 0
+            b = int(px[y - 1, x]) if y else 0
+            c = int(px[y - 1, x - 1]) if (x and y) else 0
+            if f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            row.append((int(px[y, x]) - pred) % 256)
+        rows.append(bytes(row))
+    ihdr = _s.pack(">IIBBBBB", 6, 4, 8, 0, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", _z.compress(b"".join(rows)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(mm.decode_image(payload), px % 256)
+
+
+def test_pixel_decode_rejects_undecodable():
     import pytest
 
-    with pytest.raises(NotImplementedError):
-        mm.decode_image(mm.make_png(1, b""))
+    # container fixture's IDAT is raw text, not a zlib stream
+    with pytest.raises(ValueError):
+        mm.decode_image(mm.make_png(1, b"not-zlib"))
+    with pytest.raises(ValueError):
+        mm.decode_image(b"RIFF1234WAVE")  # not a PNG at all
 
 
 def test_resize_rewrites_image_headers():

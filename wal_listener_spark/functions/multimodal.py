@@ -126,12 +126,107 @@ def parse_container(payload: bytes) -> dict:
     return meta
 
 
-def decode_image(payload: bytes):
-    """Pixel-decode placeholder. Raises until an image lib is present —
-    header metadata comes from parse_container, which needs none."""
-    raise NotImplementedError(
-        "pixel decode requires PIL/opencv — not available in this environment"
+def make_png_pixels(doc_id: int) -> bytes:
+    """A REAL decodable grayscale-8 PNG: pixel(x, y) = (x + y + doc_id)
+    % 256, per-scanline filter type cycling (y + doc_id) % 3 over
+    None/Sub/Up, IDAT zlib-compressed — stdlib + numpy only. The pixel
+    function is closed-form in doc_id so the DuckDB oracle can recompute
+    the decoded-pixel statistics without an image library."""
+    import numpy as np
+
+    w, h = _width(doc_id), _height(doc_id)
+    xs = np.arange(w, dtype=np.int64)
+    rows = []
+    prior = np.zeros(w, dtype=np.uint8)
+    for y in range(h):
+        px = ((xs + y + doc_id) % 256).astype(np.uint8)
+        ftype = (y + doc_id) % 3
+        if ftype == 0:  # None
+            filt = px
+        elif ftype == 1:  # Sub (bpp=1): raw[x] = px[x] - px[x-1]
+            filt = np.diff(px.astype(np.int16), prepend=np.int16(0)) % 256
+        else:  # Up: raw[x] = px[x] - prior[x]
+            filt = (px.astype(np.int16) - prior.astype(np.int16)) % 256
+        rows.append(bytes([ftype]) + filt.astype(np.uint8).tobytes())
+        prior = px
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # depth 8, gray
+    idat = zlib.compress(b"".join(rows))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
     )
+
+
+def decode_image(payload: bytes):
+    """REAL pixel decode for grayscale-8 PNGs (stdlib zlib + numpy — no
+    PIL needed): walk the chunk stream, concatenate IDAT, inflate,
+    reverse the per-scanline filters (None/Sub/Up/Average/Paeth), and
+    return the (height, width) uint8 pixel array. Color types other
+    than grayscale-8 raise ValueError (PIL/opencv territory — the
+    declared boundary of the stdlib decoder)."""
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat, hdr = 8, [], None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            hdr = struct.unpack_from(">IIBB", body, 0)  # w, h, depth, ctype
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if hdr is None:
+        raise ValueError("no IHDR chunk")
+    w, h, depth, ctype = hdr
+    if (depth, ctype) != (8, 0):
+        raise ValueError(f"unsupported PNG depth/color type {depth}/{ctype}")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"IDAT is not a zlib stream: {e}") from e
+    if len(raw) != h * (w + 1):
+        raise ValueError(f"IDAT length {len(raw)} != {h}*({w}+1)")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)
+    ftypes, data = arr[:, 0], arr[:, 1:].astype(np.int16)
+    out = np.zeros((h, w), dtype=np.uint8)
+    prior = np.zeros(w, dtype=np.int16)
+    for y in range(h):
+        f, row = int(ftypes[y]), data[y]
+        if f == 0:  # None
+            rec = row % 256
+        elif f == 1:  # Sub: rec[x] = raw[x] + rec[x-1]
+            rec = np.cumsum(row, dtype=np.int64) % 256
+        elif f == 2:  # Up
+            rec = (row + prior) % 256
+        elif f == 3:  # Average (sequential by definition)
+            rec = np.zeros(w, dtype=np.int64)
+            left = 0
+            for x in range(w):
+                left = (int(row[x]) + (left + int(prior[x])) // 2) % 256
+                rec[x] = left
+        elif f == 4:  # Paeth
+            rec = np.zeros(w, dtype=np.int64)
+            left = 0
+            for x in range(w):
+                a, b = left, int(prior[x])  # c (upper-left) = prior[x-1]
+                c = int(prior[x - 1]) if x else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                left = (int(row[x]) + pred) % 256
+                rec[x] = left
+        else:
+            raise ValueError(f"bad filter type {f} on scanline {y}")
+        out[y] = rec.astype(np.uint8)
+        prior = out[y].astype(np.int16)
+    return out
 
 
 def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -247,6 +342,54 @@ def transform_payloads(
 
     return with_payload.select("doc_id", "payload").mapInPandas(
         _run, "doc_id bigint, payload binary"
+    )
+
+
+def attach_pixel_png(docs: DataFrame) -> DataFrame:
+    """Synthesize a REAL decodable grayscale PNG per document (see
+    make_png_pixels) — the fixture for the pixel-decode path."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            out["payload"] = [make_png_pixels(int(d)) for d in pdf["doc_id"]]
+            yield out
+
+    return docs.select("doc_id").mapInPandas(_make, "doc_id bigint, payload binary")
+
+
+PIXEL_STATS_DDL = (
+    "doc_id bigint, width int, height int, n_pixels bigint, pix_sum bigint"
+)
+
+
+def pixel_stats(with_payload: DataFrame) -> DataFrame:
+    """Decode every PNG's pixels (real zlib+numpy scanline decode) and
+    reduce to per-image statistics INSIDE the Arrow batch — the stats
+    leave the executor, the 10^4-10^5 pixels per image never do. The
+    batch shape is the production shape for any pixel-level feature
+    extractor (embeddings, histograms, perceptual hashes)."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"].values):
+                px = decode_image(bytes(p))
+                recs.append(
+                    (
+                        int(d),
+                        int(px.shape[1]),
+                        int(px.shape[0]),
+                        int(px.size),
+                        int(px.sum(dtype="int64")),
+                    )
+                )
+            yield pd.DataFrame(
+                recs, columns=["doc_id", "width", "height", "n_pixels", "pix_sum"]
+            )
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        _stats, PIXEL_STATS_DDL
     )
 
 

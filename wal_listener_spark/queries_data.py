@@ -193,6 +193,15 @@ def q_mm_frame_sample(spark, sf_dir):
     return multimodal.extract_metadata(sampled).drop("payload_sha")
 
 
+def q_mm_pixel_stats(spark, sf_dir):
+    """REAL pixel decode: per-document grayscale PNGs (pixel(x,y) =
+    (x+y+doc_id)%256, mixed None/Sub/Up scanline filters, zlib IDAT)
+    decoded with stdlib zlib + numpy inside the Arrow batch; the oracle
+    recomputes the decoded-pixel statistics from the closed form."""
+    wp = multimodal.attach_pixel_png(_docs(spark, sf_dir))
+    return multimodal.pixel_stats(wp)
+
+
 DATA_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -209,6 +218,7 @@ DATA_QUERIES = {
     "mm_decode_meta": q_mm_decode_meta,
     "mm_resize_meta": q_mm_resize_meta,
     "mm_frame_sample": q_mm_frame_sample,
+    "mm_pixel_stats": q_mm_pixel_stats,
 }
 
 # ------------------------------------------------------------------ oracles
@@ -481,4 +491,18 @@ SELECT doc_id,
         WHEN doc_id%3=0 THEN 57 + L
         ELSE 14 + L END)::BIGINT AS n_bytes
 FROM m""",
+        # decoded-pixel statistics from the closed form pixel(x,y) =
+        # (x+y+doc_id)%256 over the w x h grid (w<=255, h<=215 — the
+        # fixed ranges cover every document's dimensions)
+        "mm_pixel_stats": """
+WITH dims AS (
+  SELECT doc_id, (16 + doc_id%240)::INT AS w, (16 + (doc_id//3)%200)::INT AS h
+  FROM documents
+)
+SELECT d.doc_id, d.w AS width, d.h AS height,
+       (d.w * d.h)::BIGINT AS n_pixels,
+       SUM((x.x + y.y + d.doc_id) % 256)::BIGINT AS pix_sum
+FROM dims d, range(0, 256) x(x), range(0, 216) y(y)
+WHERE x.x < d.w AND y.y < d.h
+GROUP BY d.doc_id, d.w, d.h""",
     }
