@@ -157,3 +157,125 @@ def test_live_tail_marker_ttl_purges_state(spark, tmp_path):
         q.stop()
     assert LakeTable.load(spark, root).read_public().count() > 0
     assert peak > 0 and last < peak, f"markers not purged (peak={peak}, last={last})"
+
+
+def test_giant_open_tx_buffers_in_chunks(spark, tmp_path):
+    """A transaction far larger than any single trigger must buffer as
+    per-trigger chunks (O(new rows) per trigger, no O(tx) re-pickle of
+    the whole buffer) and release complete + correct when its Commit
+    finally arrives many triggers later."""
+    import datetime
+
+    from wal_listener_spark.pipeline import replay_batch
+    from wal_listener_spark.streaming.tailing import (
+        STATE_SCHEMA,
+        _assemble_impl,
+        assemble_stream,
+        seed_registry,
+    )
+    from wal_listener_spark.trace.generator import TRACE_SCHEMA
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, -1, 0, "R", 1, "public", "repos",
+         [("repo", 25, True, -1), ("path", 25, True, -1),
+          ("commit", 25, False, -1), ("lang", 25, False, -1),
+          ("content", 25, False, -1)],
+         None, None, None, None, None),
+        (10, 500, -1, "B", None, None, None, None, None, None, None, ts, None),
+    ]
+    n_rows = 3000
+    for j in range(n_rows):
+        rows.append((11 + j, 500, j, "I", 1, None, None, None, None,
+                     {"repo": "big", "path": f"f{j}", "commit": "c",
+                      "lang": "py", "content": f"v{j}"},
+                     [], None, None))
+    rows.append((11 + n_rows, 500, 99, "C", None, None, None, None, None,
+                 None, None, ts, None))
+    trace = spark.createDataFrame(rows, TRACE_SCHEMA)
+    trace_dir = str(tmp_path / "trace")
+    # many files, LSN-ordered split: the tx spans every file
+    generator.write_trace(trace, trace_dir, num_files=10)
+    root = str(tmp_path / "lake")
+    _mk(spark, root)
+    seed_registry(spark, trace_dir, root)
+
+    released_sizes = []
+
+    def _apply(df, bid):
+        n = df.count()
+        released_sizes.append(n)
+        if n:
+            replay_batch(
+                df, LakeTable.load(spark, root),
+                PipelineConfig(num_buckets=8), f"giant-{bid}",
+            )
+
+    stream = (
+        spark.readStream.schema(TRACE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(trace_dir)
+    )
+    q = (
+        assemble_stream(stream)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # the whole tx released exactly once, in the (single) epoch that saw
+    # the Commit; earlier epochs buffered (only the tx-less R row flowed)
+    assert max(released_sizes) >= n_rows + 2  # B + inserts + C
+    got = _final(spark, root)
+    assert len(got) == n_rows
+    assert got[("big", "f7")] == "v7"
+
+    # unit-level chunk behavior: driver-side state stub accumulates one
+    # chunk per contributing trigger and never rewrites earlier chunks
+    import pandas as pd
+
+    class _StubState:
+        def __init__(self):
+            self.value = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self.value is not None
+
+        @property
+        def get(self):
+            return self.value
+
+        def update(self, v):
+            self.value = v
+
+        def remove(self):
+            self.value = None
+
+    st = _StubState()
+    cols = [f.name for f in TRACE_SCHEMA.fields]
+    seen_chunks = []
+    for trig in range(5):
+        pdf = pd.DataFrame(
+            [(100 + trig, 7, trig, "I", 1, None, None, None, None,
+              {"repo": "r"}, [], None, None)], columns=cols
+        )
+        list(_assemble_impl((7,), iter([pdf]), st))
+        chunks = st.value[0]
+        assert len(chunks) == trig + 1  # exactly one appended per trigger
+        if seen_chunks:
+            # earlier chunks carried byte-identical (not re-pickled fresh
+            # with different content), so buffering stays O(new rows)
+            assert chunks[: len(seen_chunks)] == seen_chunks
+        seen_chunks = list(chunks)
+    commit = pd.DataFrame(
+        [(200, 7, 99, "C", None, None, None, None, None, None, None,
+          None, None)], columns=cols
+    )
+    out = list(_assemble_impl((7,), iter([commit]), st))
+    released = pd.concat(out, ignore_index=True)
+    assert len(released) == 6 and (released["op"] == "C").sum() == 1
+    assert st.value == (None, True, st.value[2])  # marker, buffer cleared
