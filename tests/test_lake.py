@@ -269,3 +269,43 @@ def test_committed_batches_pruned_by_recency(spark, tmp_path, monkeypatch):
         _changes(spark, [("r1", "f5.py", "c", "py", "x", 50, "I")]), "b5", 50
     )
     assert st["noop"] and st["reason"] == "replayed_epoch"
+
+
+def test_failed_merge_does_not_leak_cache(spark, tmp_path):
+    """merge_batch persists the change set on the selective path; a
+    failure anywhere between that persist and the write (stats collect,
+    target read, join analysis, parquet write) must still unpersist —
+    a leaked cached frame lives in the executor cache for the session
+    and foreachBatch retries pile leaks up."""
+    import pytest
+
+    from wal_listener_spark.lake.table import LakeTable
+
+    tb = _mk(spark, tmp_path)
+
+    def _n_cached():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    base = _n_cached()
+    # failure AFTER the stats pre-pass: sabotage the target read
+    orig_read = LakeTable.read
+    try:
+        LakeTable.read = lambda self, *a, **k: (_ for _ in ()).throw(
+            RuntimeError("boom: target read failed")
+        )
+        with pytest.raises(RuntimeError, match="boom"):
+            tb.merge_batch(
+                _changes(spark, [("r1", "a.py", "c1", "py", "x", 10, "I")]),
+                "bfail",
+                10,
+            )
+    finally:
+        LakeTable.read = orig_read
+    assert _n_cached() == base, "cached change set leaked after failed merge"
+
+    # and the same batch_key retries cleanly afterwards
+    s = tb.merge_batch(
+        _changes(spark, [("r1", "a.py", "c1", "py", "x", 10, "I")]), "bfail", 10
+    )
+    assert not s.get("noop")
+    assert _n_cached() == base

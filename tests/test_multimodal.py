@@ -161,3 +161,17 @@ def test_truncated_containers_degrade_to_unknown():
         meta = mm.parse_container(p)  # must not raise
         assert meta["modality"] == "unknown", p
         assert meta["n_bytes"] == len(p)
+
+
+def test_truncated_containers_pass_through_transforms():
+    """The payload transforms take the same degrade-don't-raise stance
+    as the parser: a truncated container passes through unchanged
+    instead of raising struct.error inside mapInPandas."""
+    trunc_png = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDRwxyz"
+    assert mm.resize_container(trunc_png, 64, 48) == trunc_png
+    trunc_wav = b"RIFF\x10\x00\x00\x00WAVEfmt \x10\x00\x00\x00\x01\x00"
+    assert mm.sample_wav_frames(trunc_wav, 4) == trunc_wav
+    # and intact containers still transform (guards are not over-eager)
+    full = mm.resize_container(mm.make_png(3, b"x"), 64, 48)
+    m = mm.parse_container(full)
+    assert (m["width"], m["height"]) == (64, 48)

@@ -278,6 +278,8 @@ def resize_container(payload: bytes, width: int, height: int) -> bytes:
     containers pass through unchanged."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
         (ln,) = struct.unpack_from(">I", payload, 8)
+        if len(payload) < 16 + ln or ln < 8:
+            return payload  # truncated IHDR: pass through, don't raise
         body = bytearray(payload[12 : 16 + ln])
         struct.pack_into(">II", body, 4, width, height)
         chunk = (
@@ -308,6 +310,11 @@ def sample_wav_frames(payload: bytes, every_n: int) -> bytes:
         (ln,) = struct.unpack_from("<I", payload, pos + 4)
         chunk = payload[pos + 8 : pos + 8 + ln]
         if tag == b"fmt ":
+            if len(chunk) < 8:
+                # fmt chunk truncated: pass the container through
+                # unchanged (same degrade-don't-raise stance as the
+                # parser) — no frame sampling without a block size
+                return payload
             _fmt, ch, _rate = struct.unpack_from("<HHI", chunk, 0)
             block = max(ch * 2, 1)
             out += payload[pos : pos + 8 + ln]

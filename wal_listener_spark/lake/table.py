@@ -256,6 +256,32 @@ class LakeTable:
         if batch_key in committed:
             return {"batch_key": batch_key, "noop": True, "reason": "replayed_epoch"}
 
+        cleanup: list[DataFrame] = []
+        try:
+            return self._merge_batch_impl(
+                changes, batch_key, high_lsn, truncate_lsn, coalesce_cols,
+                registry_json, selective, cleanup,
+            )
+        finally:
+            # unpersist on EVERY exit — success or a failure anywhere
+            # between the persist and the write (stats collect, target
+            # read, join/plan analysis, parquet write). A leaked cached
+            # frame lives in the executor cache for the session, and
+            # foreachBatch retries would pile leaks up.
+            for df in cleanup:
+                df.unpersist()
+
+    def _merge_batch_impl(
+        self,
+        changes: DataFrame,
+        batch_key: str,
+        high_lsn: int,
+        truncate_lsn: int | None,
+        coalesce_cols: list[str] | None,
+        registry_json: list[dict] | None,
+        selective: bool,
+        cleanup: list[DataFrame],
+    ) -> dict:
         key_cols = self.key_cols
         value_cols = [f["name"] for f in self.manifest["schema"] if f["name"] not in key_cols]
         coalesce_cols = coalesce_cols or []
@@ -272,24 +298,19 @@ class LakeTable:
         if not prebucketed:
             chg = chg.withColumn(BUCKET_COL, _bucket_expr(key_cols, self.num_buckets))
         observation = None
-        persisted = None
         if selective and truncate_lsn is None:
             # one materialization of the (expensive) upstream pipeline,
             # reused by the stats pass and the merge join/write (the
-            # cache preserves the bucket partitioning for the join below)
+            # cache preserves the bucket partitioning for the join below);
+            # registered for unconditional unpersist in merge_batch's
+            # try/finally
             chg = chg.persist()
-            persisted = chg
-            try:
-                stats_row = chg.agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("nd"),
-                    F.collect_set(BUCKET_COL).alias("bks"),
-                ).collect()[0]
-            except BaseException:
-                # don't leak the cached frame into the executor cache if
-                # the stats job dies (foreachBatch retries would pile up)
-                persisted.unpersist()
-                raise
+            cleanup.append(chg)
+            stats_row = chg.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("nd"),
+                F.collect_set(BUCKET_COL).alias("bks"),
+            ).collect()[0]
             n_changes = stats_row["n"]
             n_deletes = stats_row["nd"] or 0
             affected = list(stats_row["bks"])
@@ -417,16 +438,11 @@ class LakeTable:
             result = result.repartition(max(len(affected), 1), F.col(BUCKET_COL))
         # prebucketed: join output is already bucket-partitioned — the
         # write's per-task dynamic partitioning needs no extra shuffle
-        try:
-            (
-                result.write.partitionBy(BUCKET_COL)
-                .mode("overwrite")
-                .parquet(out_dir)
-            )
-        except BaseException:
-            if persisted is not None:
-                persisted.unpersist()
-            raise
+        (
+            result.write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
 
         # collect per-bucket files + row counts (lineage)
         new_buckets: dict[str, list[str]] = {}
@@ -452,8 +468,6 @@ class LakeTable:
             m = observation.get  # filled by the write job above
             n_changes = m["n"]
             n_deletes = m["nd"] or 0
-        if persisted is not None:
-            persisted.unpersist()
         stats = {
             "batch_key": batch_key,
             "noop": False,
