@@ -200,12 +200,12 @@ def test_giant_open_tx_buffers_in_chunks(spark, tmp_path):
     _mk(spark, root)
     seed_registry(spark, trace_dir, root)
 
-    released_sizes = []
+    released = []
 
     def _apply(df, bid):
-        n = df.count()
-        released_sizes.append(n)
-        if n:
+        pdf = df.toPandas()
+        released.append(pdf)
+        if len(pdf):
             replay_batch(
                 df, LakeTable.load(spark, root),
                 PipelineConfig(num_buckets=8), f"giant-{bid}",
@@ -225,15 +225,29 @@ def test_giant_open_tx_buffers_in_chunks(spark, tmp_path):
     )
     q.awaitTermination()
 
-    # the whole tx released exactly once, in the (single) epoch that saw
-    # the Commit; earlier epochs buffered (only the tx-less R row flowed)
-    assert max(released_sizes) >= n_rows + 2  # B + inserts + C
+    # every insert released exactly once across epochs, and EVERY epoch
+    # that carried rows of the tx also carried a Commit (file listing
+    # order is not LSN order, so rows arriving after the commit epoch
+    # release as stragglers WITH a synthesized Commit copy — the
+    # complete-transaction-per-batch invariant the census relies on)
+    n_inserts = sum(int((p["op"] == "I").sum()) for p in released)
+    assert n_inserts == n_rows
+    for p in released:
+        if int(p["op"].isin(["I", "B"]).sum()):
+            assert int((p["op"] == "C").sum()) >= 1, "epoch missing Commit"
+    # buffering happened: the largest release is much bigger than any
+    # single trigger's file (the buffered chunks came out at commit time)
+    assert max(len(p) for p in released) > (n_rows + 4) // 10 + 1
     got = _final(spark, root)
     assert len(got) == n_rows
     assert got[("big", "f7")] == "v7"
 
     # unit-level chunk behavior: driver-side state stub accumulates one
-    # chunk per contributing trigger and never rewrites earlier chunks
+    # chunk per contributing trigger per open tx and never rewrites
+    # earlier chunks (bucketed state: key is a bucket id, the blob holds
+    # (open, markers) for every tx hashing into the bucket)
+    import pickle
+
     import pandas as pd
 
     class _StubState:
@@ -263,8 +277,10 @@ def test_giant_open_tx_buffers_in_chunks(spark, tmp_path):
             [(100 + trig, 7, trig, "I", 1, None, None, None, None,
               {"repo": "r"}, [], None, None)], columns=cols
         )
-        list(_assemble_impl((7,), iter([pdf]), st))
-        chunks = st.value[0]
+        list(_assemble_impl((3,), iter([pdf]), st))
+        open_txs, markers = pickle.loads(bytes(st.value[0]))
+        assert not markers
+        chunks = open_txs[7]
         assert len(chunks) == trig + 1  # exactly one appended per trigger
         if seen_chunks:
             # earlier chunks carried byte-identical (not re-pickled fresh
@@ -275,7 +291,19 @@ def test_giant_open_tx_buffers_in_chunks(spark, tmp_path):
         [(200, 7, 99, "C", None, None, None, None, None, None, None,
           None, None)], columns=cols
     )
-    out = list(_assemble_impl((7,), iter([commit]), st))
+    out = list(_assemble_impl((3,), iter([commit]), st))
     released = pd.concat(out, ignore_index=True)
     assert len(released) == 6 and (released["op"] == "C").sum() == 1
-    assert st.value == (None, True, st.value[2])  # marker, buffer cleared
+    open_txs, markers = pickle.loads(bytes(st.value[0]))
+    assert open_txs == {} and list(markers) == [7]  # marker, buffer cleared
+
+    # straggler after the marker: releases immediately WITH a synthesized
+    # Commit copy so the batch still carries a complete transaction
+    late = pd.DataFrame(
+        [(150, 7, 50, "I", 1, None, None, None, None,
+          {"repo": "r"}, [], None, None)], columns=cols
+    )
+    out = list(_assemble_impl((3,), iter([late]), st))
+    released = pd.concat(out, ignore_index=True)
+    assert len(released) == 2 and (released["op"] == "C").sum() == 1
+    assert released[released["op"] == "C"]["lsn"].iloc[0] == 200

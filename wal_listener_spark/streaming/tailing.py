@@ -11,39 +11,55 @@ flush at ``listener.go:401-424``) as a keyed stateful operator:
     readStream -> groupBy(tx_id).applyInPandasWithState(buffer-or-release)
                -> foreachBatch(replay_batch)
 
-State per tx_id: the buffered rows as a LIST of pickled-pandas chunks
-(array<binary> in the state store) — one chunk appended per trigger
-that contributed rows, so buffering an open transaction costs O(new
-rows) per trigger, never O(tx size): a multi-GB transaction open
-across hundreds of triggers is carried by reference and only
-unpickled+concatenated once, at release. Incoming Arrow batches are
-buffered/released wholesale — no per-row Python loop, no dict/JSON
-normalization: the pdf Spark hands in IS the pdf handed back out.
-When the Commit arrives, the whole transaction (Begin + changes +
-Commit) is released downstream atomically, so ``replay_batch``'s
-integrity accounting and merge see only complete transactions.
-Relation/Origin/Type/Truncate rows (tx-less control messages in our
-columnar form) pass through immediately.
+State is keyed by ``hash(tx_id) % tx_buckets``, NOT by tx_id: with
+per-tx keys the Python assembler is invoked once per transaction per
+trigger, and a CDC stream of small OLTP transactions (measured: 418k
+events / 200k txs at bench scale) pays ~0.3-0.5 ms of
+applyInPandasWithState per-group overhead 100k+ times per epoch —
+30-50 s/epoch of pure invocation cost. Bucketed keys make the
+invocation count O(tx_buckets) per trigger and the transaction
+bookkeeping vectorized pandas inside each bucket; state-store rows are
+bounded by the bucket count instead of the live-transaction count.
 
-State size is bounded by open transactions plus committed-tx markers:
-once a tx commits, a small marker survives so late-arriving rows of
-that tx (a file split mid-tx, listed out of order) still release with
-a Commit copy. For LIVE tails (processingTime trigger) pass
-``marker_ttl_ms`` to purge markers via ProcessingTimeTimeout, keeping
-marker state O(recent txs) instead of O(all txs ever); a row later
-than the TTL quarantines as uncommitted (safe: metered, never applied
-wrong). Bounded availableNow replays run without timeouts — the
-combination of availableNow + state timeouts does not terminate
-cleanly (observed: the query never finishes), and a bounded replay's
-marker count is bounded by its input anyway. The reference holds the
-same buffer in memory (wal.go:21-30) with no marker at all — it
-relies on strict socket order. Spark checkpoints the state store, so
-a crash mid-transaction resumes with the buffer intact.
+Per-bucket state (one pickled blob): ``open`` maps tx_id -> list of
+pickled-pandas chunks (one chunk appended per trigger that contributed
+rows to that tx, so an open giant transaction costs O(new rows) of
+pickling per trigger — existing chunks are carried as opaque bytes,
+never re-serialized through pandas); ``markers`` maps committed tx_id
+-> (commit_lsn, commit_ts, last_seen_ms) — scalars, NOT a pickled
+row, so 100k committed-tx markers cost megabytes, not hundreds.
+Incoming Arrow batches buffer/release wholesale: no per-row Python,
+masks + groupby only. When a Commit arrives, the whole transaction
+(Begin + changes + Commit) is released downstream atomically, so
+``replay_batch``'s integrity accounting and merge see only complete
+transactions. Relation/Origin/Type/Truncate rows (tx-less control
+messages in our columnar form, tx_id < 0) ride a dedicated -1 bucket
+and pass through immediately; rows with NULL tx_id (never produced by
+the decoder) also pass through rather than buffering unreleasably.
+
+Late-arriving rows of an already-committed tx (a file split mid-tx,
+listed out of order) release immediately together with a synthesized
+Commit row built from the marker scalars, so every released batch
+still carries complete transactions. For LIVE tails (processingTime
+trigger) pass ``marker_ttl_ms`` to purge expired markers via
+ProcessingTimeTimeout (per-marker timestamps; a bucket whose state
+empties is removed); a row later than the TTL quarantines as
+uncommitted (safe: metered, never applied wrong). Bounded availableNow
+replays run without timeouts — the combination of availableNow + state
+timeouts does not terminate cleanly (observed: the query never
+finishes), and a bounded replay's marker count is bounded by its input
+anyway. The reference holds the same buffer in memory (wal.go:21-30)
+with no marker at all — it relies on strict socket order. Spark
+checkpoints the state store, so a crash mid-transaction resumes with
+the buffer intact. ``tx_buckets`` is baked into the checkpoint's key
+space: changing it requires a fresh checkpoint (same rule as
+``spark.sql.shuffle.partitions`` for state stores).
 """
 
 from __future__ import annotations
 
 import pickle
+import time
 from collections.abc import Iterator
 
 import pandas as pd
@@ -57,19 +73,12 @@ from ..config import PipelineConfig
 from ..pipeline import replay_batch
 from ..trace.generator import TRACE_SCHEMA
 
-STATE_SCHEMA = T.StructType(
-    [
-        # buffered rows as a LIST of pickled-pandas chunks, one chunk per
-        # trigger that contributed rows. Appending a chunk costs O(new
-        # rows) — a giant open transaction is NOT re-pickled every
-        # trigger (it used to be one blob: O(tx size) concat+pickle per
-        # trigger while open). Chunks are only unpickled+concatenated
-        # once, at release.
-        T.StructField("chunks", T.ArrayType(T.BinaryType()), True),
-        T.StructField("committed", T.BooleanType(), True),
-        T.StructField("commit_row", T.BinaryType(), True),
-    ]
-)
+#: per-bucket state: ONE pickled (open, markers) tuple — see module
+#: docstring for the layout and why it beats per-tx state rows
+STATE_SCHEMA = T.StructType([T.StructField("blob", T.BinaryType(), True)])
+
+TX_BUCKET_COL = "__tx_bucket"
+DEFAULT_TX_BUCKETS = 64
 
 _COLS = [f.name for f in TRACE_SCHEMA.fields]
 
@@ -85,6 +94,37 @@ def _empty() -> pd.DataFrame:
     return pd.DataFrame(columns=_COLS)
 
 
+def _synth_commit(tx_id: int, commit_lsn, commit_ts) -> pd.DataFrame:
+    """A minimal Commit row rebuilt from marker scalars — released with
+    straggler rows so the downstream tx-integrity census still sees a
+    complete transaction in every batch."""
+    row = {c: None for c in _COLS}
+    # lsn/tx_id/seq/op are non-nullable in TRACE_SCHEMA; seq of a Commit
+    # row is never consulted downstream (census only checks op == 'C')
+    row.update(tx_id=tx_id, lsn=commit_lsn, seq=0, op="C", commit_ts=commit_ts)
+    return pd.DataFrame([row], columns=_COLS)
+
+
+def _load_state(state: GroupState) -> tuple[dict, dict]:
+    if state.exists:
+        (blob,) = state.get
+        if blob:
+            return pickle.loads(bytes(blob))
+    return {}, {}
+
+
+def _store_state(
+    state: GroupState, open_txs: dict, markers: dict,
+    marker_ttl_ms: int | None,
+) -> None:
+    if open_txs or markers:
+        state.update((pickle.dumps((open_txs, markers), protocol=5),))
+        if marker_ttl_ms:
+            state.setTimeoutDuration(marker_ttl_ms)
+    elif state.exists:
+        state.remove()
+
+
 def _make_assemble(marker_ttl_ms: int | None):
     def _assemble(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         return _assemble_impl(key, pdfs, state, marker_ttl_ms)
@@ -96,77 +136,102 @@ def _assemble_impl(
     key, pdfs: Iterator[pd.DataFrame], state: GroupState,
     marker_ttl_ms: int | None = None,
 ):
-    """Buffer a transaction's rows until its Commit arrives, then release
-    the complete transaction (the WAL.Clear() lifecycle).
+    """Buffer each transaction's rows until its Commit arrives, then
+    release the complete transaction (the WAL.Clear() lifecycle) — for
+    every transaction hashing into this bucket, vectorized.
 
     Robust to out-of-LSN-order delivery (a file source makes no ordering
-    promise): once a tx commits, the state remembers it, and any
-    late-arriving rows of that tx release immediately together with a
-    copy of the Commit row (so downstream integrity accounting still
-    sees a complete transaction in every batch)."""
+    promise): once a tx commits, its marker survives in bucket state,
+    and any late-arriving rows release immediately together with a
+    synthesized Commit row."""
+    now_ms = int(time.time() * 1000)
     if marker_ttl_ms and state.hasTimedOut:
-        # committed-marker TTL expired: purge (open buffers never set a
-        # timeout, so only markers land here)
-        state.remove()
+        # timeout fires only for buckets with no fresh data this trigger:
+        # purge expired markers, keep open buffers, drop the bucket row
+        # entirely once both are empty
+        open_txs, markers = _load_state(state)
+        cutoff = now_ms - marker_ttl_ms
+        markers = {t: m for t, m in markers.items() if m[2] > cutoff}
+        _store_state(state, open_txs, markers, marker_ttl_ms)
         yield _empty()
         return
-    committed = False
-    commit_blob: bytes | None = None
-    chunks: list[bytes] = []
-    if state.exists:
-        stored, was_committed, commit_blob = state.get
-        committed = bool(was_committed)
-        if stored:
-            chunks = [bytes(c) for c in stored]
 
-    fresh = [pdf for pdf in pdfs if len(pdf)]
-    for pdf in fresh:
-        commits = pdf[pdf["op"] == "C"]
-        if len(commits):
-            committed = True
-            commit_blob = _dumps(commits.tail(1))
+    parts = [pdf for pdf in pdfs if len(pdf)]
+    if not parts:
+        yield _empty()
+        return
+    pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+    if TX_BUCKET_COL in pdf.columns:
+        pdf = pdf.drop(columns=[TX_BUCKET_COL])
 
-    tx_less = key[0] is not None and key[0] < 0
-    if committed or tx_less:
-        parts = [pickle.loads(c) for c in chunks] + fresh
-        release = pd.concat(parts, ignore_index=True) if parts else _empty()
-        # late release after an earlier commit: attach the Commit copy so
-        # this batch still carries a complete transaction
-        if (
-            commit_blob is not None
-            and len(release)
-            and not (release["op"] == "C").any()
-        ):
-            release = pd.concat(
-                [release, pickle.loads(bytes(commit_blob))], ignore_index=True
-            )
-        if tx_less:
-            state.remove()
-        else:
-            # keep the committed marker (empty buffer) for stragglers;
-            # TTL'd in live mode so marker state stays O(recent txs)
-            state.update((None, True, commit_blob))
-            if marker_ttl_ms:
-                state.setTimeoutDuration(marker_ttl_ms)
-        yield release
+    if key[0] is not None and int(key[0]) < 0:
+        # tx-less control rows (Relation/Origin/Type/Truncate): straight
+        # through, no state
+        yield pdf
+        return
+
+    open_txs, markers = _load_state(state)
+    tx = pdf["tx_id"]
+
+    # transactions whose Commit is IN this trigger (the common case for
+    # an epoch that covers whole files): release fresh rows + any
+    # buffered chunks from earlier triggers
+    commits = pdf[pdf["op"] == "C"].drop_duplicates("tx_id", keep="last")
+    committed_now = set(int(t) for t in commits["tx_id"].tolist())
+    # stragglers of transactions that committed in an EARLIER trigger
+    present = set(int(t) for t in tx.dropna().unique().tolist())
+    marked_late = (present & set(markers)) - committed_now
+
+    release_mask = tx.isin(committed_now | marked_late) | tx.isna()
+    released = [pdf[release_mask]] if release_mask.any() else []
+    for t in committed_now:
+        released.extend(pickle.loads(c) for c in open_txs.pop(t, []))
+    for t in marked_late:
+        c_lsn, c_ts, _ = markers[t]
+        released.append(_synth_commit(t, c_lsn, c_ts))
+
+    # buffer open transactions: ONE new chunk per tx per trigger;
+    # existing chunks ride along as opaque bytes (no re-serialization)
+    open_pdf = pdf[~release_mask]
+    if len(open_pdf):
+        for t, g in open_pdf.groupby("tx_id", sort=False):
+            open_txs.setdefault(int(t), []).append(_dumps(g))
+
+    # record/refresh markers for newly committed transactions (scalars
+    # only — see module docstring)
+    for t, lsn, ts in zip(
+        commits["tx_id"].tolist(), commits["lsn"].tolist(),
+        commits["commit_ts"].tolist(),
+    ):
+        markers[int(t)] = (lsn, ts, now_ms)
+
+    _store_state(state, open_txs, markers, marker_ttl_ms)
+    if released:
+        yield pd.concat(released, ignore_index=True)
     else:
-        # open tx: append ONE new chunk for this trigger's rows — the
-        # already-buffered chunks are carried by reference, not re-pickled
-        if fresh:
-            new = fresh[0] if len(fresh) == 1 else pd.concat(fresh, ignore_index=True)
-            chunks.append(_dumps(new))
-        state.update((chunks or None, False, None))
         yield _empty()
 
 
 def assemble_stream(
-    trace_stream: DataFrame, marker_ttl_ms: int | None = None
+    trace_stream: DataFrame,
+    marker_ttl_ms: int | None = None,
+    tx_buckets: int = DEFAULT_TX_BUCKETS,
 ) -> DataFrame:
     """Stateful cross-batch tx assembly: only complete transactions (and
     tx-less control rows) flow downstream. ``marker_ttl_ms`` enables the
     committed-marker purge for LIVE (processingTime) tails; leave None
-    under availableNow (module docstring)."""
-    return trace_stream.groupBy("tx_id").applyInPandasWithState(
+    under availableNow (module docstring). ``tx_buckets`` sizes the
+    state key space (fixed per checkpoint)."""
+    keyed = trace_stream.withColumn(
+        TX_BUCKET_COL,
+        # NULL tx_id joins the tx-less bucket too: a null grouping key
+        # would crash the state operator's key reader, and a row without
+        # a transaction can never commit — pass it through instead
+        F.when(F.col("tx_id").isNull() | (F.col("tx_id") < 0), F.lit(-1))
+        .otherwise(F.pmod(F.hash("tx_id"), F.lit(tx_buckets)))
+        .cast("int"),
+    )
+    return keyed.groupBy(TX_BUCKET_COL).applyInPandasWithState(
         _make_assemble(marker_ttl_ms),
         outputStructType=TRACE_SCHEMA,
         stateStructType=STATE_SCHEMA,
