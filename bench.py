@@ -292,8 +292,8 @@ def main() -> None:
     # same amortization argument as the scaling pair: per-epoch fixed
     # seconds (state commit, merge job barriers) are a far bigger slice
     # of a sandbox-size run than of a real tail, so a larger trace makes
-    # the throughput figure more faithful (4x the round-2 input)
-    tail_small = generator.build_trace(spark, SF_DIR, amplify=DECODE_AMPLIFY)
+    # the throughput figure more faithful (8x the round-2 input)
+    tail_small = generator.build_trace(spark, SF_DIR, amplify=DECODE_AMPLIFY * 2)
     generator.write_trace(tail_small, tail_dir, num_files=8)  # raw lsn split
     tail_root = os.path.join(work, "tail_lake")
     LakeTable.create(spark, tail_root, ["repo", "path"], FIELDS, num_buckets=buckets)
