@@ -144,3 +144,34 @@ def test_salted_agg_equals_plain_agg(spark):
         ).collect()
     }
     assert plain == salted
+
+
+def test_pii_redact_kinds_and_order(spark):
+    """Each PII kind redacts to its token; emails go first (digit local
+    parts must not be nibbled by the phone pattern) and dotted IPs
+    survive the phone pass (dots are not in the phone class)."""
+    from wal_listener_spark.functions import text as textfn
+
+    rows = [
+        (1, "mail a.b+c9@ex-a.co now"),
+        (2, "call +1 (555) 010-0042 ok"),
+        (3, "host 10.0.42.44 up"),
+        (4, "x user123@example.com +44 20 7946 0958 at 192.168.0.1"),
+        (5, "plain words only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, t string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in df.select(
+            "doc_id",
+            textfn.pii_redact(F.col("t")).alias("red"),
+            *textfn.pii_counts(F.col("t")),
+        ).collect()
+    }
+    assert out[1]["red"] == "mail <EMAIL> now" and out[1]["n_email"] == 1
+    assert out[2]["red"] == "call <PHONE> ok" and out[2]["n_phone"] == 1
+    assert out[3]["red"] == "host <IP> up" and out[3]["n_ip"] == 1
+    assert out[4]["red"] == "x <EMAIL> <PHONE> at <IP>"
+    assert (out[4]["n_email"], out[4]["n_phone"], out[4]["n_ip"]) == (1, 1, 1)
+    assert out[5]["red"] == "plain words only"
+    assert (out[5]["n_email"], out[5]["n_phone"], out[5]["n_ip"]) == (0, 0, 0)

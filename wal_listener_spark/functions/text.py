@@ -76,6 +76,35 @@ def quality_score_milli(text: Column) -> Column:
     ).cast("bigint")
 
 
+#: PII patterns kept to syntax Java regex (Spark) and RE2 (DuckDB)
+#: interpret identically: no lookaround, no word boundaries, greedy
+#: char-class runs only (leftmost-longest == leftmost-first for these)
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def pii_redact(text: Column) -> Column:
+    """Scrub emails, phone numbers, and IPv4 addresses to typed tokens —
+    the standard pre-training privacy pass. Order matters: emails first
+    (their local parts contain digits a phone pattern could nibble),
+    then phones (dots are not in the phone class, so dotted IPs survive
+    for the final pass)."""
+    r = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    r = F.regexp_replace(r, PII_PHONE, "<PHONE>")
+    return F.regexp_replace(r, PII_IPV4, "<IP>")
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """Per-kind match counts (metered BEFORE redaction, like the
+    problematic_events counters meter before quarantine)."""
+    return [
+        F.regexp_count(text, F.lit(PII_EMAIL)).cast("bigint").alias("n_email"),
+        F.regexp_count(text, F.lit(PII_PHONE)).cast("bigint").alias("n_phone"),
+        F.regexp_count(text, F.lit(PII_IPV4)).cast("bigint").alias("n_ip"),
+    ]
+
+
 def fingerprint(text: Column) -> Column:
     """Normalized content fingerprint: lowercase, strip non-alphanumerics,
     sha256 — the exact-dedup key."""

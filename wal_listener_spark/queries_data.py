@@ -166,6 +166,52 @@ def q_text_fingerprint(spark, sf_dir):
     return d.select("doc_id", textfn.fingerprint(F.col("text")).alias("fp"))
 
 
+def q_text_pii_redact(spark, sf_dir):
+    """PII scrub over documents with deterministically injected PII
+    (email + phone + IPv4 derived from doc_id appended to the text) so
+    the redaction patterns are actually exercised — the oracle builds
+    the identical string and applies RE2 twins of the Java patterns.
+    The full redacted string is hash-compared across engines."""
+    d = _docs(spark, sf_dir)
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" host 10.0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 250).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        textfn.pii_redact(pii_text).alias("redacted"),
+        *textfn.pii_counts(pii_text),
+    )
+
+
+def q_text_repetition(spark, sf_dir):
+    """Repetition / boilerplate signal: duplicate-token mass and the
+    top token's frequency per document (explode -> two-level agg; the
+    partial aggregation collapses per-(doc, token) counts map-side, so
+    the shuffle carries distinct tokens, not raw tokens)."""
+    d = _docs(spark, sf_dir)
+    per = (
+        d.select("doc_id", F.explode(textfn.tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    distinct = F.count(F.lit(1))
+    return per.groupBy("doc_id").agg(
+        n.cast("bigint").alias("n_tokens"),
+        distinct.cast("bigint").alias("n_distinct_tokens"),
+        F.max("c").cast("bigint").alias("top_tok_count"),
+        F.floor((n - distinct) * 1000 / n).cast("bigint").alias("dup_milli"),
+    )
+
+
 def q_mm_decode_meta(spark, sf_dir):
     """Binary containers (PNG/WAV/GIF) synthesized, then header-parsed
     back; the oracle checks the parsed fields against the closed form.
@@ -215,6 +261,8 @@ DATA_QUERIES = {
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
+    "text_pii_redact": q_text_pii_redact,
+    "text_repetition": q_text_repetition,
     "mm_decode_meta": q_mm_decode_meta,
     "mm_resize_meta": q_mm_resize_meta,
     "mm_frame_sample": q_mm_frame_sample,
@@ -393,6 +441,37 @@ WITH tok AS (
 SELECT doc_id,
   ((hits*1000)//n + least(n, 200) - (punct*1000)//nc)::BIGINT AS quality_m
 FROM m""",
+        "text_pii_redact": f"""
+WITH pii AS (
+  SELECT doc_id,
+    text || ' contact user' || doc_id::VARCHAR ||
+    '@example.com or +1 (555) 010-' ||
+    lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+    ' host 10.0.' || (doc_id % 250)::VARCHAR || '.' ||
+    ((doc_id * 7) % 250)::VARCHAR AS t
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(t, '{textfn.PII_EMAIL}', '<EMAIL>', 'g'),
+      '{textfn.PII_PHONE}', '<PHONE>', 'g'),
+    '{textfn.PII_IPV4}', '<IP>', 'g') AS redacted,
+  len(regexp_extract_all(t, '{textfn.PII_EMAIL}'))::BIGINT AS n_email,
+  len(regexp_extract_all(t, '{textfn.PII_PHONE}'))::BIGINT AS n_phone,
+  len(regexp_extract_all(t, '{textfn.PII_IPV4}'))::BIGINT AS n_ip
+FROM pii""",
+        "text_repetition": f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS tok FROM documents
+), per AS (
+  SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
+)
+SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+       count(*)::BIGINT AS n_distinct_tokens,
+       max(c)::BIGINT AS top_tok_count,
+       (((sum(c) - count(*)) * 1000) // sum(c))::BIGINT AS dup_milli
+FROM per GROUP BY doc_id""",
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
         "ann_ivf_topk": f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
