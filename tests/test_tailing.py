@@ -242,6 +242,18 @@ def test_giant_open_tx_buffers_in_chunks(spark, tmp_path):
     assert len(got) == n_rows
     assert got[("big", "f7")] == "v7"
 
+    # bounded state: rows in the state store are O(tx_buckets), never
+    # O(transactions) — the property that keeps a 100-TB tail's state
+    # store from growing with throughput
+    from wal_listener_spark.streaming.tailing import DEFAULT_TX_BUCKETS
+
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    ]
+    assert state_rows and max(state_rows) <= DEFAULT_TX_BUCKETS + 1
+
     # unit-level chunk behavior: driver-side state stub accumulates one
     # chunk per contributing trigger per open tx and never rewrites
     # earlier chunks (bucketed state: key is a bucket id, the blob holds
