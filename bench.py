@@ -78,11 +78,16 @@ SCALE_REPS = int(os.environ.get("BENCH_SCALE_REPS", "3"))
 DECODE_AMPLIFY = max(AMPLIFY // 10, 1)
 
 
-def _wait_quiet(max_wait_s: int = 120, thresh: float | None = None) -> None:
+def _wait_quiet(max_wait_s: int | None = None, thresh: float | None = None) -> None:
     """Hold the next timed rep until the host calms down (co-tenant
     bursts of 8-18 cores were recorded; measuring through one measures
     the neighbors, not the engine). Bounded wait — worst case we run
-    anyway and the rep's loadavg is reported beside it."""
+    anyway and the rep's loadavg is reported beside it. The scaling
+    pair runs with a longer bound (BENCH_QUIET_WAIT): it is the round's
+    gate artifact, and a burst outlasting a 2-minute wait was exactly
+    what polluted the round-2 number."""
+    if max_wait_s is None:
+        max_wait_s = int(os.environ.get("BENCH_QUIET_WAIT", "120"))
     if thresh is None:
         thresh = (os.cpu_count() or 32) * 0.33
     t0 = time.time()
@@ -206,10 +211,15 @@ def replay_subcommand(trace_dir: str, cpus: int, buckets: int) -> None:
     }))
 
 
-def _run_replay(trace_dir: str, cpus: int, buckets: int, reps: int | None = None) -> dict:
+def _run_replay(
+    trace_dir: str, cpus: int, buckets: int, reps: int | None = None,
+    quiet_wait_s: int | None = None,
+) -> dict:
     env = dict(os.environ)
     if reps is not None:
         env["BENCH_REPS"] = str(reps)
+    if quiet_wait_s is not None and "BENCH_QUIET_WAIT" not in os.environ:
+        env["BENCH_QUIET_WAIT"] = str(quiet_wait_s)
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--replay", trace_dir,
          str(cpus), str(buckets)],
@@ -331,8 +341,10 @@ def main() -> None:
             write_tx_aligned(strace, scale_dir, num_files=max(CPUS * 3, 24))
             queries["trace_gen_scale"] = round(time.time() - t0, 3)
             spark2.stop()
-        lo = _run_replay(scale_dir, SCALE_LO, buckets, reps=SCALE_REPS)
-        hi_s = _run_replay(scale_dir, SCALE_HI, buckets, reps=SCALE_REPS)
+        lo = _run_replay(scale_dir, SCALE_LO, buckets, reps=SCALE_REPS,
+                         quiet_wait_s=300)
+        hi_s = _run_replay(scale_dir, SCALE_HI, buckets, reps=SCALE_REPS,
+                          quiet_wait_s=300)
         for tag, r in ((SCALE_LO, lo), (SCALE_HI, hi_s)):
             queries[f"replay_local{tag}"] = r["sec_min"]
             out["replay_runs"][f"local{tag}"] = r["runs"]
