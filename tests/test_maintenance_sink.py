@@ -174,3 +174,62 @@ def test_kafka_loopback_contract(spark, tmp_path):
     k, t, v = by_action["DELETE"]
     assert k == "repos" and t == "STREAM.p_custom"
     assert v["data_old"] == {"repo": "r1"} and "commitTime" in v
+
+
+def test_dedup_event_stream_within_watermark(spark, tmp_path):
+    """At-least-once redelivery across epochs collapses to exactly one
+    event per deterministic id, with dedup state bounded by the
+    watermark window (dropDuplicatesWithinWatermark — never an
+    unbounded distinct)."""
+    import datetime
+
+    from wal_listener_spark.operators import events as events_op
+    from wal_listener_spark.operators.sink import dedup_event_stream
+    from wal_listener_spark.trace.generator import TRACE_SCHEMA
+
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (17, 1, 0, "I", 1, None, None, None, None,
+         {"repo": "r1", "path": "a.py"}, [], ts, None),
+        (18, 1, 1, "U", 1, None, None, None, None,
+         {"repo": "r1", "path": "a.py"}, [], ts, None),
+    ]
+    ev = events_op.to_events(
+        spark.createDataFrame(rows, TRACE_SCHEMA), "public", "repos"
+    )
+    # epoch 1: both events; epoch 2: a redelivery of the first (the
+    # publish-then-crash-before-ack scenario) plus one new event
+    src = str(tmp_path / "feed")
+    ev.write.parquet(os.path.join(src, "f1"))
+    redelivered = ev.limit(1)
+    fresh = events_op.to_events(
+        spark.createDataFrame(
+            [(19, 2, 0, "D", 1, None, None, None, {"repo": "r1"},
+              None, [], ts, None)],
+            TRACE_SCHEMA,
+        ),
+        "public", "repos",
+    )
+    redelivered.unionByName(fresh).write.parquet(os.path.join(src, "f2"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    seen: list = []
+
+    def _collect(df, _bid):
+        seen.extend(r["id"] for r in df.collect())
+
+    q = (
+        dedup_event_stream(stream)
+        .writeStream.foreachBatch(_collect)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert len(seen) == 3, f"expected 3 unique events, saw {len(seen)}"
+    assert len(set(seen)) == 3  # the redelivered id came through once

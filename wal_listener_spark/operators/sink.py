@@ -110,3 +110,28 @@ def kafka_writer(
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def dedup_event_stream(
+    event_stream: DataFrame,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Consumer-side exactly-once upgrade for the at-least-once feed.
+
+    The reference's only delivery guarantee is "Messages are published
+    to the broker at least once!" (``/root/reference/README.md:57``) —
+    a crash between publish and LSN-ack redelivers, and consumers are
+    expected to dedup on the deterministic event id (md5 of lsn +
+    ordered Data — event.go:38-57; ours is T4's deterministic id).
+
+    Spark-native shape: ``dropDuplicatesWithinWatermark`` keyed on the
+    event id with ``event_time`` (= commit time) as the watermark
+    column. Dedup state is bounded by the watermark window — at
+    10^10-event scale an unbounded ``dropDuplicates`` would accrete one
+    state row per event forever, while redeliveries only ever arrive
+    within the retry horizon, so a watermark-bounded buffer is both
+    correct and O(window) in state.
+    """
+    return event_stream.withWatermark(
+        "event_time", watermark_delay
+    ).dropDuplicatesWithinWatermark(["id"])
