@@ -173,6 +173,38 @@ def q_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _replay_through_lake(spark, sf_dir)
 
 
+def q_cdc_tailing_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True-tailing escalation path against the SAME final-state oracle:
+    the trace is written NON-tx-aligned (raw lsn split — Begin and
+    Commit of a transaction land in different micro-batches), tailed
+    epoch-by-epoch through the bucketed-state assembler
+    (streaming/tailing.py: applyInPandasWithState keyed by
+    hash(tx_id) % 64), and the resulting lake state must be identical
+    to the bounded replay's (wal.go:21-30 buffer semantics under
+    Spark's no-ordering-promise file source)."""
+    from .streaming.tailing import run_tailing_stream
+
+    trace = generator.build_trace(spark, sf_dir, amplify=AMPLIFY)
+    work = tempfile.mkdtemp(prefix="wal_tail_gate_")
+    trace_dir = os.path.join(work, "trace")
+    generator.write_trace(trace, trace_dir, num_files=6)
+    root = os.path.join(work, "lake")
+    LakeTable.create(spark, root, ["repo", "path"], FIELDS, num_buckets=16)
+    run_tailing_stream(
+        spark, trace_dir, root, os.path.join(work, "ckpt"),
+        cfg=PipelineConfig(num_buckets=16), max_files_per_trigger=2,
+    )
+    return LakeTable.load(spark, root).read_public().select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        F.col("stars").cast("int").alias("stars"),
+        F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("content_sha"),
+    )
+
+
 def q_cdc_lww_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operator-level apply (window LWW + TOAST carry-forward), no sink."""
     return _final_state_df(spark, sf_dir)
@@ -366,6 +398,7 @@ def _oracle_cdc() -> dict[str, str]:
     d = spec.DELETE_MOD
     base = {
         "cdc_replay_final_state": oracle_final_state(),
+        "cdc_tailing_replay": oracle_final_state(),
         "cdc_lww_compaction": oracle_final_state(),
         "cdc_replay_overlap_dedup": oracle_final_state(),
         # truncate barrier just before key k_tr wipes exactly keys < k_tr
@@ -468,6 +501,7 @@ FROM documents""",
 
 CDC_QUERIES = {
     "cdc_replay_final_state": q_cdc_replay_final_state,
+    "cdc_tailing_replay": q_cdc_tailing_replay,
     "cdc_lww_compaction": q_cdc_lww_compaction,
     "cdc_truncate": q_cdc_truncate,
     "cdc_filter_allowlist": q_cdc_filter_allowlist,
