@@ -175,3 +175,14 @@ def test_truncated_containers_pass_through_transforms():
     full = mm.resize_container(mm.make_png(3, b"x"), 64, 48)
     m = mm.parse_container(full)
     assert (m["width"], m["height"]) == (64, 48)
+
+
+def test_pixel_decode_truncated_ihdr_raises_valueerror():
+    """A PNG whose IHDR body is cut below 10 bytes must raise the
+    documented ValueError, not let struct.error escape the mapInPandas
+    batch with an undeclared exception type."""
+    import pytest
+
+    p = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR" + b"wxyz"
+    with pytest.raises(ValueError, match="IHDR chunk truncated"):
+        mm.decode_image(p)

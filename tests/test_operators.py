@@ -175,3 +175,46 @@ def test_pii_redact_kinds_and_order(spark):
     assert (out[4]["n_email"], out[4]["n_phone"], out[4]["n_ip"]) == (1, 1, 1)
     assert out[5]["red"] == "plain words only"
     assert (out[5]["n_email"], out[5]["n_phone"], out[5]["n_ip"]) == (0, 0, 0)
+
+
+def test_hyperplane_bucket_rejects_wrong_dim(spark):
+    """The literal weight arrays are sized to dim; a mismatched vector
+    must fail loudly instead of null-padding every plane sum and
+    silently hashing ALL vectors to bucket 0 (which would collapse LSH
+    pruning into an all-pairs join)."""
+    import pytest
+
+    from wal_listener_spark.functions.similarity import hyperplane_bucket
+
+    ok = spark.createDataFrame(
+        [(1, [float(i) for i in range(64)])], "id int, v array<double>"
+    )
+    assert ok.select(hyperplane_bucket(F.col("v"), 4).alias("b")).collect()
+
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "id int, v array<double>"
+    )
+    with pytest.raises(Exception, match="expected 64-dim vector, got 3"):
+        bad.select(hyperplane_bucket(F.col("v"), 4).alias("b")).collect()
+
+
+def test_filter_skip_count_parity_on_null_table(spark):
+    """A NULL table_name row (unregistered rel_id) is dropped by the
+    filter on BOTH the OR-chain and broadcast paths — and must COUNT as
+    skipped on both, so the metric keeps one meaning as the allow-list
+    grows across FILTER_BROADCAST_THRESHOLD."""
+    from wal_listener_spark.operators.filters import allowlist_filter
+
+    rows = [("repos", "I"), (None, "I"), ("other", "I")]
+    df = spark.createDataFrame(rows, "table_name string, op string")
+
+    few = {"repos": ["insert"]}
+    many = {f"t{i}": ["insert"] for i in range(20)}
+    many["repos"] = ["insert"]
+
+    for cfg, kept_expected in ((few, 1), (many, 1)):
+        out, obs = allowlist_filter(df, cfg)
+        assert out.count() == kept_expected
+        m = obs.get
+        assert m["events_total"] == 3
+        assert m["filter_skipped_events"] == 2, cfg.keys()

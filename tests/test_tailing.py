@@ -319,3 +319,59 @@ def test_giant_open_tx_buffers_in_chunks(spark, tmp_path):
     released = pd.concat(out, ignore_index=True)
     assert len(released) == 2 and (released["op"] == "C").sum() == 1
     assert released[released["op"] == "C"]["lsn"].iloc[0] == 200
+
+
+def test_marker_ttl_purges_inline_on_busy_bucket():
+    """A bucket receiving steady traffic never goes quiet, so its
+    ProcessingTimeTimeout never fires — expired markers must be purged
+    INLINE on the data path or live-tail state grows one marker per
+    committed tx forever."""
+    import pickle
+    import time as _time
+
+    import pandas as pd
+
+    from wal_listener_spark.streaming.tailing import _COLS, _assemble_impl
+
+    class _StubState:
+        def __init__(self):
+            self.value = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self.value is not None
+
+        @property
+        def get(self):
+            return self.value
+
+        def update(self, v):
+            self.value = v
+
+        def remove(self):
+            self.value = None
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    def _pdf(rows):
+        return pd.DataFrame(rows, columns=_COLS)
+
+    def _row(lsn, tx, op):
+        r = {c: None for c in _COLS}
+        r.update(lsn=lsn, tx_id=tx, seq=0, op=op)
+        return r
+
+    st = _StubState()
+    ttl = 40  # ms
+    # trigger 1: tx 7 commits -> marker recorded
+    list(_assemble_impl((3,), iter([_pdf([_row(10, 7, "C")])]), st, ttl))
+    _, markers = pickle.loads(bytes(st.value[0]))
+    assert list(markers) == [7]
+    _time.sleep(0.08)  # let the marker expire
+    # trigger 2: unrelated fresh traffic in the SAME bucket (no timeout
+    # fires for busy buckets) — the expired marker must purge inline
+    list(_assemble_impl((3,), iter([_pdf([_row(20, 9, "C")])]), st, ttl))
+    _, markers = pickle.loads(bytes(st.value[0]))
+    assert list(markers) == [9], f"expired marker not purged: {list(markers)}"

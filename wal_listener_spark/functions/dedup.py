@@ -133,6 +133,7 @@ def embedding_near_dup_pairs(
     bits: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed (the scale
     path): vectors shuffle once on their hyperplane-sign bucket, the
@@ -149,7 +150,7 @@ def embedding_near_dup_pairs(
     base = emb.select(
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("v"),
-        hyperplane_bucket(F.col(vec_col), bits).alias("bucket"),
+        hyperplane_bucket(F.col(vec_col), bits, dim=dim).alias("bucket"),
     )
     left = base.alias("l")
     right = base.alias("r")

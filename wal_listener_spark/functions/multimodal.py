@@ -176,6 +176,10 @@ def decode_image(payload: bytes):
         tag = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + ln]
         if tag == b"IHDR":
+            if len(body) < 10:
+                # truncated IHDR: keep the documented ValueError contract
+                # (struct.error would escape as an undeclared type)
+                raise ValueError(f"IHDR chunk truncated ({len(body)} bytes)")
             hdr = struct.unpack_from(">IIBB", body, 0)  # w, h, depth, ctype
         elif tag == b"IDAT":
             idat.append(body)

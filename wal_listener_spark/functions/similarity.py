@@ -110,7 +110,19 @@ def hyperplane_bucket(vec_col, bits: int = 8, dim: int = 64):
             lambda acc, x: acc + x,
         )
         bucket = bucket + F.when(pd > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+    # the literal weight arrays are sized to `dim`; a vector of any
+    # other length would null-pad the zip_with, poison every plane sum
+    # to NULL, and silently hash ALL vectors to bucket 0 (collapsing
+    # LSH pruning into an O(N^2) self-join) — fail loudly instead
+    return F.when(F.size(vec_col) == F.lit(dim), bucket).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"hyperplane_bucket: expected {dim}-dim vector, got "),
+                F.size(vec_col).cast("string"),
+                F.lit(" — pass dim= explicitly"),
+            )
+        )
+    )
 
 
 def ivf_topk(
@@ -182,13 +194,14 @@ def lsh_topk(
     bits: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: probe only the query's hyperplane bucket.
     Same output shape as brute_force_topk (recall < 1 by design)."""
     base = emb.select(
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("v"),
-        hyperplane_bucket(F.col(vec_col), bits).alias("bucket"),
+        hyperplane_bucket(F.col(vec_col), bits, dim=dim).alias("bucket"),
     )
     q = base.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),

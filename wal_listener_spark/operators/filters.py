@@ -76,9 +76,14 @@ def allowlist_filter(
     obs = None
     if observe:
         obs = Observation("filter_metrics")
+        # skipped = NOT kept, via when(cond, 0).otherwise(1): a NULL
+        # predicate (NULL table_name from an unregistered rel_id) drops
+        # the row, so it must COUNT as skipped — `when(~cond, 1)` would
+        # fall through to 0 on NULL and the OR-chain vs broadcast paths
+        # would report different totals for identical input
         df = df.observe(
             obs,
             F.count(F.lit(1)).alias("events_total"),
-            F.sum(F.when(~cond, 1).otherwise(0)).alias("filter_skipped_events"),
+            F.sum(F.when(cond, 0).otherwise(1)).alias("filter_skipped_events"),
         )
     return df.filter(cond).drop(*drop_cols), obs

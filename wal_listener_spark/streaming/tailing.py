@@ -41,10 +41,14 @@ Late-arriving rows of an already-committed tx (a file split mid-tx,
 listed out of order) release immediately together with a synthesized
 Commit row built from the marker scalars, so every released batch
 still carries complete transactions. For LIVE tails (processingTime
-trigger) pass ``marker_ttl_ms`` to purge expired markers via
-ProcessingTimeTimeout (per-marker timestamps; a bucket whose state
-empties is removed); a row later than the TTL quarantines as
-uncommitted (safe: metered, never applied wrong). Bounded availableNow
+trigger) pass ``marker_ttl_ms`` to purge expired markers — inline on
+every trigger that touches the bucket AND via ProcessingTimeTimeout
+for buckets gone quiet (per-marker timestamps; a bucket whose state
+empties is removed). A straggler row arriving after its tx's marker
+expired is indistinguishable from a new open transaction and
+RE-BUFFERS (never applied wrong, never released without a Commit); it
+would release only if a fresh Commit for that tx_id arrived, so size
+the TTL to the source's maximum redelivery horizon. Bounded availableNow
 replays run without timeouts — the combination of availableNow + state
 timeouts does not terminate cleanly (observed: the query never
 finishes), and a bounded replay's marker count is bounded by its input
@@ -205,6 +209,14 @@ def _assemble_impl(
     ):
         markers[int(t)] = (lsn, ts, now_ms)
 
+    if marker_ttl_ms and markers:
+        # purge expired markers INLINE as well as on timeout: a bucket
+        # receiving steady live traffic never goes quiet, so its
+        # ProcessingTimeTimeout never fires — without this, markers for
+        # every committed tx would accumulate for the stream's lifetime
+        cutoff = now_ms - marker_ttl_ms
+        markers = {t: m for t, m in markers.items() if m[2] > cutoff}
+
     _store_state(state, open_txs, markers, marker_ttl_ms)
     if released:
         yield pd.concat(released, ignore_index=True)
@@ -317,8 +329,11 @@ def run_tailing_stream(
     released = assemble_stream(stream)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions:
-        # read once at stream start and checkpointed; restored after the
-        # (bounded) run so the session's batch queries keep their width
+        # the stream reads the conf once at query start and bakes it
+        # into the checkpoint as the state partition count — restore
+        # immediately after .start() so the session-global width is not
+        # mutated for the whole run (concurrent batch queries on the
+        # shared session would silently plan with the narrow width)
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
         query = (
@@ -327,12 +342,12 @@ def run_tailing_stream(
             .trigger(availableNow=True)
             .start()
         )
-        try:
-            query.awaitTermination()
-        finally:
-            if query.isActive:
-                query.stop()
     finally:
         if state_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    try:
+        query.awaitTermination()
+    finally:
+        if query.isActive:
+            query.stop()
     return stats
