@@ -283,3 +283,47 @@ def test_problematic_kinds_publish_and_ack(spark, tmp_path, monkeypatch):
     assert any(
         e["kind"] == "published_events_total" for e in log_ok.read_all()
     )
+
+
+def test_tailing_into_catalog_routes_multi_relation(spark, tmp_path):
+    """Tailing mode x multi-relation routing: a NON-tx-aligned trace
+    carrying two relations (transactions interleaved across trigger
+    boundaries) tails through the bucketed-state assembler into a
+    LakeCatalog — each relation's rows land in its own table, and a
+    tx whose Begin/Commit straddle epochs still applies atomically."""
+    from wal_listener_spark.lake.catalog import LakeCatalog
+    from wal_listener_spark.streaming.tailing import run_tailing_stream
+    from wal_listener_spark.trace import generator
+
+    rows = [
+        _rel(1, 1, "repos", ["k", "content"]),
+        _rel(2, 2, "meta", ["k", "owner"]),
+    ]
+    lsn = 100
+    for i in range(12):
+        rel_id = 1 + i % 2
+        vals = (
+            {"k": f"r{i}", "content": f"c{i}"}
+            if rel_id == 1
+            else {"k": f"m{i}", "owner": f"o{i}"}
+        )
+        _tx(rows, 100 + i, rel_id, lsn, vals)
+        lsn += 3
+    trace = spark.createDataFrame(rows, TRACE_SCHEMA)
+    trace_dir = str(tmp_path / "trace")
+    # raw lsn split: 5 files over 36 data rows -> txs straddle files
+    generator.write_trace(trace, trace_dir, num_files=5)
+
+    root = str(tmp_path / "cat")
+    LakeCatalog.create(spark, root, num_buckets=4)
+    stats = run_tailing_stream(
+        spark, trace_dir, root, str(tmp_path / "ckpt"),
+        cfg=PipelineConfig(num_buckets=4), max_files_per_trigger=2,
+    )
+    assert len(stats) >= 2  # multiple epochs
+
+    cat = LakeCatalog.load(spark, root)
+    repos = {r["k"]: r["content"] for r in cat.read_public("public_repos").collect()}
+    meta = {r["k"]: r["owner"] for r in cat.read_public("public_meta").collect()}
+    assert repos == {f"r{i}": f"c{i}" for i in range(0, 12, 2)}
+    assert meta == {f"m{i}": f"o{i}" for i in range(1, 12, 2)}
