@@ -375,3 +375,23 @@ def test_marker_ttl_purges_inline_on_busy_bucket():
     list(_assemble_impl((3,), iter([_pdf([_row(20, 9, "C")])]), st, ttl))
     _, markers = pickle.loads(bytes(st.value[0]))
     assert list(markers) == [9], f"expired marker not purged: {list(markers)}"
+
+
+def test_tx_buckets_change_refuses_resume(spark, straddling_trace, tmp_path):
+    """The bucket count IS the state key space: resuming an existing
+    checkpoint with a different tx_buckets must fail fast with an
+    actionable error instead of silently orphaning buffered txs."""
+    trace_dir, _ = straddling_trace
+    root = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    _mk(spark, root)
+    tailing.run_tailing_stream(
+        spark, trace_dir, root, ckpt,
+        PipelineConfig(num_buckets=8), max_files_per_trigger=6,
+    )
+    with pytest.raises(ValueError, match="tx_buckets=64, refusing"):
+        tailing.run_tailing_stream(
+            spark, trace_dir, root, ckpt,
+            PipelineConfig(num_buckets=8), max_files_per_trigger=6,
+            tx_buckets=32,
+        )

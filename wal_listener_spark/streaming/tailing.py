@@ -275,6 +275,37 @@ def seed_registry(spark: SparkSession, trace_dir: str, table_root: str) -> None:
         table.save_properties()
 
 
+def _pin_tx_buckets(checkpoint_dir: str, tx_buckets: int) -> None:
+    """Fail fast on a tx_buckets change against an existing checkpoint.
+
+    The bucket count IS the state key space: resuming with a different
+    value would look up every open transaction under the wrong key and
+    silently re-buffer (or mis-release) — the same class of hazard as
+    changing spark.sql.shuffle.partitions on a stateful checkpoint,
+    which Spark guards internally. Pin the value beside the checkpoint
+    and refuse a mismatched resume with an actionable error."""
+    import json
+    import os
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    pin = os.path.join(checkpoint_dir, "wal_tx_buckets.json")
+    if os.path.exists(pin):
+        with open(pin) as f:
+            pinned = json.load(f)["tx_buckets"]
+        if pinned != tx_buckets:
+            raise ValueError(
+                f"checkpoint {checkpoint_dir} was created with "
+                f"tx_buckets={pinned}, refusing to resume with "
+                f"{tx_buckets}: state keys are hash(tx_id) % tx_buckets, "
+                "so a different bucket count silently orphans buffered "
+                "transactions. Use the original value or a fresh "
+                "checkpoint."
+            )
+    else:
+        with open(pin, "w") as f:
+            json.dump({"tx_buckets": tx_buckets}, f)
+
+
 def run_tailing_stream(
     spark: SparkSession,
     trace_dir: str,
@@ -283,6 +314,7 @@ def run_tailing_stream(
     cfg: PipelineConfig | None = None,
     max_files_per_trigger: int | None = 1,
     state_partitions: int | None = None,
+    tx_buckets: int = DEFAULT_TX_BUCKETS,
 ) -> list[dict]:
     """Tail a NON-tx-aligned trace directory: stateful assembly releases
     complete transactions into the same exactly-once merge.
@@ -299,6 +331,7 @@ def run_tailing_stream(
     cfg = cfg or PipelineConfig()
     stats: list[dict] = []
 
+    _pin_tx_buckets(checkpoint_dir, tx_buckets)
     seed_registry(spark, trace_dir, table_root)
 
     def _apply(batch_df, batch_id: int) -> None:
@@ -326,7 +359,7 @@ def run_tailing_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(trace_dir)
-    released = assemble_stream(stream)
+    released = assemble_stream(stream, tx_buckets=tx_buckets)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions:
         # the stream reads the conf once at query start and bakes it
