@@ -218,3 +218,24 @@ def test_filter_skip_count_parity_on_null_table(spark):
         m = obs.get
         assert m["events_total"] == 3
         assert m["filter_skipped_events"] == 2, cfg.keys()
+
+
+def test_multi_table_lsh_recall_is_superset(spark):
+    """n_tables=2 must find every pair n_tables=1 finds (union of
+    independent bucketings can only add recall), and drop duplicates
+    for pairs colliding in both tables."""
+    from wal_listener_spark.functions.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    dup = emb.limit(30).selectExpr("vec_id + 100000 AS vec_id", "embedding")
+    corpus = emb.unionByName(dup)
+    one = {
+        (r["a"], r["b"]) for r in
+        embedding_near_dup_pairs(corpus, bits=6).collect()
+    }
+    two_rows = embedding_near_dup_pairs(corpus, bits=6, n_tables=2).collect()
+    two = {(r["a"], r["b"]) for r in two_rows}
+    assert one <= two
+    assert len(two_rows) == len(two)  # distinct'd across tables

@@ -134,6 +134,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed (the scale
     path): vectors shuffle once on their hyperplane-sign bucket, the
@@ -141,7 +142,8 @@ def embedding_near_dup_pairs(
     scale-invariant, so exact/rescaled duplicates always collide), and
     the cosine filter keeps pairs with round(cos*10000) >= threshold.
     O(N^2 / 2^bits) comparisons instead of all-pairs; recall is tuned
-    with more tables (union of bucketings), same plan shape.
+    with ``n_tables`` independent hash tables (union of bucketings,
+    distinct'd), same per-table plan shape.
 
     Output: (a, b, cos_milli) with a < b.
     """
@@ -150,24 +152,44 @@ def embedding_near_dup_pairs(
     base = emb.select(
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("v"),
-        hyperplane_bucket(F.col(vec_col), bits, dim=dim).alias("bucket"),
+        *[
+            hyperplane_bucket(F.col(vec_col), bits, dim=dim, table=t)
+            .alias(f"bucket{t}")
+            for t in range(n_tables)
+        ],
     )
-    left = base.alias("l")
-    right = base.alias("r")
-    pairs = left.join(
-        right,
-        (F.col("l.bucket") == F.col("r.bucket"))
-        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-    ).select(
-        F.col(f"l.{id_col}").alias("a"),
-        F.col(f"r.{id_col}").alias("b"),
-        # round, not floor: exact-duplicate pairs sit at cos == 1 where
-        # a 1-ulp summation-order difference flips floor across engines
-        F.round(cosine(F.col("l.v"), F.col("r.v")) * 10000, 0)
-        .cast("bigint")
-        .alias("cos_milli"),
-    )
-    return pairs.filter(F.col("cos_milli") >= threshold_milli)
+
+    def _table_pairs(t: int):
+        left = base.alias("l")
+        right = base.alias("r")
+        return left.join(
+            right,
+            (F.col(f"l.bucket{t}") == F.col(f"r.bucket{t}"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        ).select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            # round, not floor: exact-duplicate pairs sit at cos == 1
+            # where a 1-ulp summation-order difference flips floor
+            # across engines
+            F.round(cosine(F.col("l.v"), F.col("r.v")) * 10000, 0)
+            .cast("bigint")
+            .alias("cos_milli"),
+        ).filter(F.col("cos_milli") >= threshold_milli)
+
+    pairs = _table_pairs(0)
+    if n_tables == 1:
+        return pairs
+    # multi-table recall: union the per-table candidate sets and drop
+    # pairs that collided in several tables (cos_milli is a pure
+    # function of the pair, so distinct needs no re-join). Each table
+    # is its own bucketed self-join — the per-table plan shape (one
+    # shuffle on the bucket, within-bucket comparisons only) is
+    # unchanged; recall rises with each independent table while the
+    # threshold filter keeps the union small before the distinct.
+    for t in range(1, n_tables):
+        pairs = pairs.unionByName(_table_pairs(t))
+    return pairs.distinct()
 
 
 def jaccard_milli(text_a, text_b, k: int = 3):

@@ -75,32 +75,40 @@ def brute_force_topk(
     )
 
 
-def plane_weights(bits: int, dim: int) -> list[list[int]]:
+def plane_weights(bits: int, dim: int, table: int = 0) -> list[list[int]]:
     """Deterministic pseudo-random hyperplane weights: plane p's weight
     for dimension i = (md5('{p}:{i}') first 4 hex as int) - 32768 —
     fixed, engine-independent, no RNG state. Computed ONCE driver-side
     with hashlib (the closed form of the md5 Catalyst expression) and
     inlined as literals, so the per-row work is just the dot product —
-    not bits*dim constant md5 calls per vector."""
+    not bits*dim constant md5 calls per vector.
+
+    ``table`` selects an independent hash table (seed 't{table}:{p}:{i}'
+    for table > 0; table 0 keeps the original '{p}:{i}' seeds so
+    existing buckets stay stable) — multiple tables are how LSH recall
+    is tuned without changing the per-table plan shape."""
     import hashlib
+
+    def seed(p: int, i: int) -> bytes:
+        return (f"{p}:{i}" if table == 0 else f"t{table}:{p}:{i}").encode()
 
     return [
         [
-            int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:4], 16) - 32768
+            int(hashlib.md5(seed(p, i)).hexdigest()[:4], 16) - 32768
             for i in range(dim)
         ]
         for p in range(bits)
     ]
 
 
-def hyperplane_bucket(vec_col, bits: int = 8, dim: int = 64):
+def hyperplane_bucket(vec_col, bits: int = 8, dim: int = 64, table: int = 0):
     """LSH bucket: sign pattern of the vector against ``bits``
     deterministic hyperplanes (see :func:`plane_weights`). The weights
     are literal double arrays, so each plane test is one codegen'd
     zip_with/aggregate fold over the vector — identical values and fold
     order to the previous in-expression md5 form (weights are exact
     integers, losslessly representable as doubles)."""
-    weights = plane_weights(bits, dim)
+    weights = plane_weights(bits, dim, table)
     bucket = F.lit(0).cast("bigint")
     for p in range(bits):
         warr = F.array(*[F.lit(float(w)) for w in weights[p]])

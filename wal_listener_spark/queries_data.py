@@ -115,6 +115,17 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+def q_dedup_embedding_cosine_mt(spark, sf_dir):
+    """Multi-table variant (n_tables=2): union of two independent
+    hyperplane bucketings, distinct'd — recall is a superset of the
+    single-table result at the same per-table plan shape (how LSH
+    recall is tuned at 100 TB without widening any one shuffle)."""
+    return dedup.embedding_near_dup_pairs(
+        _emb_with_dups(spark, sf_dir), threshold_milli=9990,
+        bits=ANN_LSH_BITS, n_tables=2,
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     return similarity.brute_force_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
 
@@ -251,6 +262,7 @@ def q_mm_pixel_stats(spark, sf_dir):
 DATA_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_embedding_cosine_mt": q_dedup_embedding_cosine_mt,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_simhash": q_dedup_simhash,
@@ -313,10 +325,12 @@ def _simhash_sql() -> str:
 _STOPLIST = ", ".join(f"'{s}'" for s in textfn.STOPWORDS)
 
 
-def _bucket_sign_terms() -> str:
+def _bucket_sign_terms(table: int = 0) -> str:
     """SQL expression for the hyperplane-sign bucket over a DOUBLE[]
-    column ``v`` (weights inlined as literals — _lsh_plane_weights)."""
-    weights = _lsh_plane_weights()
+    column ``v`` (weights inlined as literals — _lsh_plane_weights;
+    ``table`` selects an independent hash table, same seeds as
+    similarity.plane_weights)."""
+    weights = similarity.plane_weights(ANN_LSH_BITS, EMB_DIM, table)
     return " + ".join(
         f"(CASE WHEN list_dot_product(v, {w}::DOUBLE[]) > 0 THEN {1 << p} ELSE 0 END)"
         for p, w in enumerate(weights)
@@ -522,6 +536,28 @@ p AS (
   FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
 )
 SELECT a, b, cos_milli FROM p WHERE cos_milli >= 9990""",
+        "dedup_embedding_cosine_mt": f"""
+WITH src AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+corpus AS (
+  SELECT vec_id, v FROM src
+  UNION ALL SELECT vec_id+100000, v FROM src WHERE vec_id%5=0
+  UNION ALL SELECT vec_id+200000, list_transform(v, x -> x*2) FROM src
+    WHERE vec_id%7=0
+),
+bk AS (SELECT vec_id, v,
+       ({_bucket_sign_terms(0)})::BIGINT AS bucket0,
+       ({_bucket_sign_terms(1)})::BIGINT AS bucket1
+       FROM corpus),
+p AS (
+  SELECT l.vec_id AS a, r.vec_id AS b,
+         round(10000 * list_dot_product(l.v, r.v) /
+               (sqrt(list_dot_product(l.v, l.v)) *
+                sqrt(list_dot_product(r.v, r.v))))::BIGINT AS cos_milli
+  FROM bk l JOIN bk r
+    ON (l.bucket0 = r.bucket0 OR l.bucket1 = r.bucket1)
+   AND l.vec_id < r.vec_id
+)
+SELECT DISTINCT a, b, cos_milli FROM p WHERE cos_milli >= 9990""",
         "text_fingerprint": f"""
 SELECT doc_id, {_FP} AS fp FROM documents""",
         # closed form of the synthesized containers: fixed header sizes
