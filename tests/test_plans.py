@@ -89,6 +89,42 @@ def test_merge_reuses_bucket_partitioning(spark, trace_dir, tmp_path):
     assert stats["tables"]["public_repos"]["buckets_rewritten"]
 
 
+def test_window_path_job_count_matches_default(
+    spark, trace_dir, tmp_path, monkeypatch
+):
+    """WAL_COMPACT=window (the A/B window-sort knob) must not pay any
+    extra driver job per batch: its truncate barrier comes from the same
+    fused census the default agg path uses (pipeline.compact_for_merge
+    t_lsn passthrough), so the Spark job count per replay_batch is
+    identical in both modes."""
+    from wal_listener_spark.config import PipelineConfig
+    from wal_listener_spark.lake.table import LakeTable
+    from wal_listener_spark.pipeline import replay_batch
+
+    sc = spark.sparkContext
+
+    def _run(tag: str, window: bool) -> int:
+        if window:
+            monkeypatch.setenv("WAL_COMPACT", "window")
+        else:
+            monkeypatch.delenv("WAL_COMPACT", raising=False)
+        tb = LakeTable.create(
+            spark, str(tmp_path / tag), ["repo", "path"], FIELDS, num_buckets=8
+        )
+        tr = spark.read.schema(TRACE_SCHEMA).parquet(trace_dir)
+        sc.setJobGroup(tag, tag)
+        try:
+            stats = replay_batch(tr, tb, PipelineConfig(num_buckets=8), "b0")
+        finally:
+            sc.setJobGroup(None, None)
+        assert not stats["noop"]
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    n_default = _run("jobs_default", window=False)
+    n_window = _run("jobs_window", window=True)
+    assert n_window == n_default, (n_window, n_default)
+
+
 def test_wide_mode_merge_single_pass(spark, trace_dir, tmp_path):
     """selective_buckets=False (full-replay mode): the change pipeline
     must run exactly once — no persist barrier (no InMemoryRelation in

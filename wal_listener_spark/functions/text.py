@@ -80,7 +80,10 @@ def quality_score_milli(text: Column) -> Column:
 #: interpret identically: no lookaround, no word boundaries, greedy
 #: char-class runs only (leftmost-longest == leftmost-first for these)
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PII_PHONE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+#: explicit [ \t] instead of \s: Java's \s includes vertical tab (\x0B),
+#: RE2's does not — the shared-interpretation invariant above requires
+#: spelling out the exact whitespace set
+PII_PHONE = r"\+?[0-9][0-9()\- \t]{6,}[0-9]"
 PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
 
 

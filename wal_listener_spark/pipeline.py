@@ -53,12 +53,23 @@ def stamp_table_names(df: DataFrame, registry: RelationRegistry) -> DataFrame:
     return df.withColumn("schema_name", sch).withColumn("table_name", tbl)
 
 
+#: sentinel for "caller did not precompute the truncate barrier"
+_UNSET = object()
+
+
 def compact_for_merge(
-    typed: DataFrame, schema: RelationSchema
+    typed: DataFrame, schema: RelationSchema, t_lsn: "int | None | object" = _UNSET
 ) -> tuple[DataFrame, int | None]:
     """Batch-local LWW compaction keeping delete markers (the merge
-    needs them to delete target rows), plus the truncate barrier."""
-    t_lsn = apply_op.truncate_barrier_lsn(typed)
+    needs them to delete target rows), plus the truncate barrier.
+
+    ``t_lsn``: pass the relation's truncate barrier when the caller
+    already knows it (replay_batch extracts it from the fused one-scan
+    census — running ``truncate_barrier_lsn`` here again would pay a
+    dedicated collect job per batch for information the census already
+    produced). Standalone callers omit it and pay the single scan."""
+    if t_lsn is _UNSET:
+        t_lsn = apply_op.truncate_barrier_lsn(typed)
     data = typed.filter(F.col("op").isin("I", "U", "D"))
     compacted = apply_op.last_write_wins(
         data,
@@ -217,7 +228,9 @@ def replay_batch(
         t_lsn = trunc_by_rel.get(rel_id)
         if _os.environ.get("WAL_COMPACT") == "window":
             typed = typed_changes(rel_rows, schema)
-            compacted, _ = compact_for_merge(typed, schema)
+            # barrier comes from the census — same job count as the
+            # default agg path (no dedicated truncate collect)
+            compacted, _ = compact_for_merge(typed, schema, t_lsn=t_lsn)
             merge_input = compacted.select(
                 *schema.key_columns,
                 *schema.value_columns,

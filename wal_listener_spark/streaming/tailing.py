@@ -48,7 +48,14 @@ empties is removed). A straggler row arriving after its tx's marker
 expired is indistinguishable from a new open transaction and
 RE-BUFFERS (never applied wrong, never released without a Commit); it
 would release only if a fresh Commit for that tx_id arrived, so size
-the TTL to the source's maximum redelivery horizon. Bounded availableNow
+the TTL to the source's maximum redelivery horizon. Marker expiry is
+judged by EXECUTOR wall clock (``time.time()`` captured when the marker
+was last touched): on a multi-executor cluster, clock skew between
+hosts — or an NTP step — shifts the effective TTL by the skew amount
+in either direction. Degradation stays safe (an early-expired marker
+only re-buffers stragglers; a late one holds a few extra bytes), but
+when sizing ``marker_ttl_ms`` budget the cluster's worst-case clock
+skew on top of the redelivery horizon. Bounded availableNow
 replays run without timeouts — the combination of availableNow + state
 timeouts does not terminate cleanly (observed: the query never
 finishes), and a bounded replay's marker count is bounded by its input
@@ -290,8 +297,16 @@ def _pin_tx_buckets(checkpoint_dir: str, tx_buckets: int) -> None:
     os.makedirs(checkpoint_dir, exist_ok=True)
     pin = os.path.join(checkpoint_dir, "wal_tx_buckets.json")
     if os.path.exists(pin):
-        with open(pin) as f:
-            pinned = json.load(f)["tx_buckets"]
+        try:
+            with open(pin) as f:
+                pinned = json.load(f)["tx_buckets"]
+        except (ValueError, KeyError) as e:
+            raise ValueError(
+                f"tx_buckets pin {pin} is unreadable ({e!r}) — the "
+                "checkpoint directory is corrupt (crash mid-create?). "
+                "Start from a fresh checkpoint, or restore the pin to "
+                "the original tx_buckets value if it is known."
+            ) from e
         if pinned != tx_buckets:
             raise ValueError(
                 f"checkpoint {checkpoint_dir} was created with "
@@ -302,8 +317,12 @@ def _pin_tx_buckets(checkpoint_dir: str, tx_buckets: int) -> None:
                 "checkpoint."
             )
     else:
-        with open(pin, "w") as f:
+        # atomic create (tmp + rename): a crash mid-write must not leave
+        # a truncated pin that poisons every later resume
+        tmp = pin + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({"tx_buckets": tx_buckets}, f)
+        os.replace(tmp, pin)
 
 
 def run_tailing_stream(
