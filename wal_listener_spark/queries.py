@@ -230,12 +230,30 @@ def q_cdc_replay_overlap_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    final = _final_state_df(spark, sf_dir)
-    return (
-        final.withColumn("has_stars", F.col("stars").isNotNull())
-        .groupBy("has_stars")
-        .agg(F.count(F.lit(1)).alias("n"))
+    """Relation v2 lands mid-stream (P4): every change event BEFORE the
+    evolution LSN must type against the 5-column schema (stars NULL,
+    5 positional cells) and every event after it against the 6-column
+    one (stars = k % STARS_MOD, 6 cells) — asserted per event across
+    the full key space, not as a 2-row census. The cell count comes
+    from the actual typed projection the registry produced."""
+    trace = generator.build_trace(spark, sf_dir, amplify=AMPLIFY)
+    registry = RelationRegistry().update_from_trace(trace)
+    committed, _q = assemble_transactions(trace)
+    from .pipeline import stamp_table_names
+
+    committed = stamp_table_names(committed, registry)
+    data = committed.filter(F.col("op").isin("I", "U"))
+    typed = typed_changes(data, registry.relations[spec.REL_ID])
+    # positional arity of the wire tuple (map cells + TOAST cells) comes
+    # from the raw frame; the typed stars value from the registry path
+    cells = data.select(
+        F.col("lsn"),
+        F.col("op"),
+        (F.size("new_vals") + F.size("toast_cols")).cast("int").alias("n_cells"),
     )
+    return cells.join(
+        typed.select("lsn", F.col("stars").cast("int").alias("stars")), "lsn"
+    ).select("lsn", "op", "n_cells", "stars")
 
 
 def q_cdc_tx_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,18 +272,41 @@ def q_cdc_event_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("id", "action", "lsn")
 
 
+#: subject-routing gate dimensions: 150 sharded tables, a 50-entry
+#: topicsMap (> TOPICS_BROADCAST_THRESHOLD, so the gate exercises the
+#: broadcast-join override path, not the CASE chain)
+_ROUTE_SHARDS = 150
+_ROUTE_TOPICS_MAP = {
+    f"public_repos_{i}": f"t{i:03d}_mapped"
+    for i in range(_ROUTE_SHARDS)
+    if i % 3 == 0
+}
+
+
 def q_cdc_subject_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subject routing (T7) through the broadcast topicsMap path: the
+    event stream is resharded across 150 logical tables
+    (public.repos_<k%150>), stamped via stamp_subjects with a 50-entry
+    override map — every third shard remapped, the rest falling through
+    to schema_table — and censused per subject (event.go:24-36 naming,
+    nats_test.go:27-44 expectation, at map sizes where the CASE-chain
+    form is no longer the executed plan)."""
     trace = generator.build_trace(spark, sf_dir, amplify=AMPLIFY)
     committed, _ = assemble_transactions(trace)
-    ev = events_op.to_events(
-        committed,
-        spec.SCHEMA_NAME,
-        spec.TABLE_NAME,
+    ev = events_op.to_events(committed, spec.SCHEMA_NAME, spec.TABLE_NAME)
+    # k = floor(lsn / SLOT) - 1 (LSN layout in trace/spec.py): reshard
+    # each event to its key's logical table
+    shard = (F.floor(F.col("lsn") / spec.SLOT) - 1) % _ROUTE_SHARDS
+    ev = ev.withColumn(
+        "table", F.concat(F.lit(spec.TABLE_NAME + "_"), shard.cast("string"))
+    )
+    routed = events_op.stamp_subjects(
+        ev.drop("subject"),
         topic="STREAM",
         topic_prefix="prefix_",
-        topics_map={"public_repos": "code_repos"},
+        topics_map=_ROUTE_TOPICS_MAP,
     )
-    return ev.groupBy("subject").agg(F.count(F.lit(1)).alias("n"))
+    return routed.groupBy("subject").agg(F.count(F.lit(1)).alias("n"))
 
 
 def q_cdc_quarantine_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,8 +323,48 @@ def q_cdc_quarantine_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cell_sig(tags_col: str, vals_col: str):
+    """Canonical string of a decoded positional tuple: 't:<val>' for sent
+    cells, bare 'n'/'u' tags otherwise, ';'-joined. NULL tuple -> ''."""
+    return F.concat_ws(
+        ";",
+        F.zip_with(
+            F.col(tags_col),
+            F.col(vals_col),
+            lambda t, v: F.when(t == "t", F.concat(F.lit("t:"), v)).otherwise(t),
+        ),
+    )
+
+
 def q_cdc_decode_framed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Framed binary roundtrip: encode -> vectorized decode -> op census."""
+    """Framed binary roundtrip, hashed PER FRAME: encode the full sf
+    trace to pgoutput wire bytes (trace/framed.py), decode with the
+    vectorized batch-numpy decoder, and emit one digest row per data
+    frame covering every positional cell tag and value (parser.go:178-344
+    byte parity at thousands of frames — the census-only form of this
+    gate could not catch a cell-level decoder regression)."""
+    trace = generator.build_trace(spark, sf_dir, amplify=AMPLIFY)
+    frames = framed.frames_from_columnar(trace)
+    decoded = decode_op.decode_frames(frames)
+    return decoded.filter(F.col("op").isin("I", "U", "D")).select(
+        F.col("lsn"),
+        F.col("op"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("op"),
+                F.col("lsn").cast("string"),
+                _cell_sig("new_cell_tags", "new_cell_vals"),
+                _cell_sig("old_cell_tags", "old_cell_vals"),
+            )
+        ).alias("frame_sha"),
+    )
+
+
+def q_cdc_decode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roundtrip op census over ALL message kinds (B/C/R/I/U/D + ignored
+    O/Y passthrough counts — P0/P3 dispatch coverage; the per-frame byte
+    parity lives in cdc_decode_framed)."""
     trace = generator.build_trace(spark, sf_dir, amplify=AMPLIFY)
     frames = framed.frames_from_columnar(trace)
     decoded = decode_op.decode_frames(frames)
@@ -324,6 +405,56 @@ def q_cdc_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "epoch string, upserts bigint, deletes bigint"
+    )
+
+
+def q_cdc_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintenance lifecycle under the oracle: two-epoch replay ->
+    compact() (tombstone GC at the last-applied watermark + one file per
+    bucket, lake/table.py:507-556) -> expire_snapshots() keeping exactly
+    back to the epoch-0 commit (table.py:558-596) -> read BOTH the
+    current snapshot and the time-travel snapshot at epoch 0. Proves the
+    rewrite changed no visible state and expiry kept time travel intact
+    (Iceberg rewrite_data_files + expire_snapshots semantics)."""
+    from .pipeline import replay_batch
+
+    trace = generator.build_trace(spark, sf_dir, amplify=AMPLIFY)
+    nk = generator.num_keys(spark, sf_dir, AMPLIFY)
+    split_lsn = (nk // 2 + 1) * spec.SLOT  # key k owns [(k+1)*SLOT, ...)
+    root = tempfile.mkdtemp(prefix="wal_maint_")
+    table = LakeTable.create(spark, root, ["repo", "path"], FIELDS, num_buckets=16)
+    cfg = PipelineConfig(num_buckets=16)
+    replay_batch(trace.filter(F.col("lsn") < split_lsn), table, cfg, "e0")
+    v_epoch0 = LakeTable.load(spark, root).manifest["version"]
+    replay_batch(
+        trace.filter(F.col("lsn") >= split_lsn),
+        LakeTable.load(spark, root), cfg, "e1",
+    )
+    table = LakeTable.load(spark, root)
+    table.compact()  # watermark = last_applied_lsn: every tombstone GCs
+    table = LakeTable.load(spark, root)
+    table.expire_snapshots(keep_last=table.manifest["version"] - v_epoch0 + 1)
+
+    def _pub(t: LakeTable, phase: str) -> DataFrame:
+        df = t.read_public()
+        if "stars" not in df.columns:
+            # the epoch-0 snapshot predates the Relation-v2 evolution
+            df = df.withColumn("stars", F.lit(None).cast("int"))
+        return df.select(
+            F.lit(phase).alias("phase"),
+            "repo",
+            "path",
+            "commit",
+            "lang",
+            "content",
+            F.col("stars").cast("int").alias("stars"),
+            F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias(
+                "content_sha"
+            ),
+        )
+
+    return _pub(LakeTable.load(spark, root), "current").unionByName(
+        _pub(LakeTable.load(spark, root, version=v_epoch0), "epoch0")
     )
 
 
@@ -412,10 +543,15 @@ def _oracle_cdc() -> dict[str, str]:
         "cdc_filter_allowlist": (
             "WITH " + _keys_cte() + "," + _final_cte() + _final_select("TRUE")
         ),
+        # per-event typed-projection evidence: arity and stars flip at
+        # the Relation-v2 boundary for every key after k_evo
         "cdc_schema_evolution": f"""
 WITH {_keys_cte()}
-SELECT (k >= k_evo) AS has_stars, count(*) AS n
-FROM attrs WHERE k%{d} <> 0 GROUP BY 1""",
+SELECT ((k+1)*{spec.SLOT} + 1 + r.range)::BIGINT AS lsn,
+       CASE WHEN r.range = 0 THEN 'I' ELSE 'U' END AS op,
+       (5 + CASE WHEN k >= k_evo THEN 1 ELSE 0 END)::INT AS n_cells,
+       (CASE WHEN k >= k_evo THEN k%{spec.STARS_MOD} END)::INT AS stars
+FROM attrs, range({spec.NVER_MOD}) r WHERE r.range < n_ver""",
         "cdc_tx_assembly": f"""
 WITH {_keys_cte()}
 SELECT k AS tx_id,
@@ -436,18 +572,62 @@ h AS (SELECT *, sha256(lsn||':'||seq) AS hh FROM rows_)
 SELECT substr(hh,1,8)||'-'||substr(hh,9,4)||'-'||substr(hh,13,4)||'-'||
        substr(hh,17,4)||'-'||substr(hh,21,12) AS id, action, lsn
 FROM h""",
+        # closed form of the 150-shard broadcast routing: every third
+        # shard remapped by the topicsMap, others fall through
         "cdc_subject_routing": f"""
-WITH {_keys_cte()}
-SELECT 'STREAM.prefix_code_repos' AS subject,
-       (sum(n_ver) + count(*) FILTER (WHERE k%{d}=0))::BIGINT AS n
-FROM attrs""",
+WITH {_keys_cte()},
+shards AS (
+  SELECT k%{_ROUTE_SHARDS} AS shard,
+         n_ver + CASE WHEN k%{d}=0 THEN 1 ELSE 0 END AS n_events
+  FROM attrs
+)
+SELECT 'STREAM.prefix_' ||
+       CASE WHEN shard%3 = 0
+            THEN 't'||lpad(shard::VARCHAR, 3, '0')||'_mapped'
+            ELSE 'public_repos_'||shard END AS subject,
+       sum(n_events)::BIGINT AS n
+FROM shards GROUP BY 1""",
         "cdc_quarantine_integrity": f"""
 WITH {_keys_cte()},
 c AS (SELECT k, n_ver + CASE WHEN k%{d}=0 THEN 1 ELSE 0 END AS n FROM attrs)
 SELECT 'committed' AS kind, sum(n)::BIGINT AS n FROM c WHERE k%13 <> 0
 UNION ALL
 SELECT 'quarantined' AS kind, sum(n)::BIGINT AS n FROM c WHERE k%13 = 0""",
+        # per-frame closed form of the wire tuples: positional cells in
+        # Relation ordinal order, 't:<val>' / 'n' / 'u' tags, old tuple
+        # key-only ('K' kind: non-key positions are 'n'); D old tuples
+        # use base arity (encoder never widens a key-only delete)
         "cdc_decode_framed": f"""
+WITH {_keys_cte()},
+vers AS (
+  SELECT a.*, r.range AS v
+  FROM attrs a, range({spec.NVER_MOD}) r WHERE r.range < n_ver
+),
+iu AS (
+  SELECT ((k+1)*{spec.SLOT} + 1 + v)::BIGINT AS lsn,
+         CASE WHEN v = 0 THEN 'I' ELSE 'U' END AS op,
+         't:'||repo||';t:'||path
+           ||';t:'||substr(sha256(k||':'||v), 1, 40)
+           ||';t:'||lang||';'
+           ||CASE WHEN v > 0 AND (k+v)%{spec.TOAST_MOD} = 0
+                  THEN 'u' ELSE 't:'||text||'#v'||v END
+           ||CASE WHEN k >= k_evo THEN ';t:'||(k%{spec.STARS_MOD})
+                  ELSE '' END AS new_sig,
+         CASE WHEN v = 0 THEN ''
+              ELSE 't:'||repo||';t:'||path||';n;n;n'
+                   ||CASE WHEN k >= k_evo THEN ';n' ELSE '' END
+         END AS old_sig
+  FROM vers
+),
+dels AS (
+  SELECT ((k+1)*{spec.SLOT} + 5)::BIGINT AS lsn, 'D' AS op, '' AS new_sig,
+         't:'||repo||';t:'||path||';n;n;n' AS old_sig
+  FROM attrs WHERE k%{d} = 0
+),
+frames AS (SELECT * FROM iu UNION ALL SELECT * FROM dels)
+SELECT lsn, op, md5(op||'|'||lsn||'|'||new_sig||'|'||old_sig) AS frame_sha
+FROM frames""",
+        "cdc_decode_census": f"""
 WITH {_keys_cte()},
 agg AS (SELECT count(*) AS nk, sum(n_ver)::BIGINT AS nv,
                count(*) FILTER (WHERE k%{d}=0) AS nd
@@ -462,6 +642,17 @@ SELECT op, n FROM (
   UNION ALL SELECT 'O', 1::BIGINT
   UNION ALL SELECT 'Y', 1::BIGINT
 ) t""",
+        # compaction + snapshot expiry change nothing visible: current ==
+        # full final state, time-travel at epoch 0 == the half-key state
+        "cdc_maintenance_lifecycle": (
+            "WITH " + _keys_cte() + "," + _final_cte()
+            + f"""
+SELECT 'current' AS phase, t.* FROM ({_final_select(f"k%{d} <> 0")}) t
+UNION ALL
+SELECT 'epoch0' AS phase, t.* FROM ({_final_select(
+    f"k%{d} <> 0 AND k < (SELECT count(*)*{A} FROM documents)//2"
+)}) t"""
+        ),
         "cdc_skew_salted_agg": f"""
 WITH {_keys_cte()}
 SELECT repo, count(*) AS n_paths
@@ -512,7 +703,9 @@ CDC_QUERIES = {
     "cdc_subject_routing": q_cdc_subject_routing,
     "cdc_quarantine_integrity": q_cdc_quarantine_integrity,
     "cdc_decode_framed": q_cdc_decode_framed,
+    "cdc_decode_census": q_cdc_decode_census,
     "cdc_cast_matrix": q_cdc_cast_matrix,
     "cdc_skew_salted_agg": q_cdc_skew_salted_agg,
+    "cdc_maintenance_lifecycle": q_cdc_maintenance_lifecycle,
     "cdc_lineage": q_cdc_lineage,
 }
