@@ -147,7 +147,9 @@ def _mk_spark(cpus: int, name: str):
     )
 
 
-def replay_subcommand(trace_dir: str, cpus: int, buckets: int) -> None:
+def replay_subcommand(
+    trace_dir: str, cpus: int, buckets: int, pre_salt: int = 0
+) -> None:
     """Child process: one cold-JVM replay; prints {"sec":..,"events":..}."""
     from pyspark.sql import functions as F
 
@@ -189,7 +191,10 @@ def replay_subcommand(trace_dir: str, cpus: int, buckets: int) -> None:
         t0 = time.time()
         replay_batch(
             trace, table,
-            PipelineConfig(num_buckets=buckets, selective_buckets=False),
+            PipelineConfig(
+                num_buckets=buckets, selective_buckets=False,
+                compact_pre_salt=pre_salt or None,
+            ),
             "bench",
         )
         runs.append(
@@ -213,7 +218,7 @@ def replay_subcommand(trace_dir: str, cpus: int, buckets: int) -> None:
 
 def _run_replay(
     trace_dir: str, cpus: int, buckets: int, reps: int | None = None,
-    quiet_wait_s: int | None = None,
+    quiet_wait_s: int | None = None, pre_salt: int = 0,
 ) -> dict:
     env = dict(os.environ)
     if reps is not None:
@@ -222,7 +227,7 @@ def _run_replay(
         env["BENCH_QUIET_WAIT"] = str(quiet_wait_s)
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--replay", trace_dir,
-         str(cpus), str(buckets)],
+         str(cpus), str(buckets), str(pre_salt)],
         capture_output=True, text=True, check=True, env=env,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
@@ -327,6 +332,43 @@ def main() -> None:
     out["throughput_eps"] = round(hi["events"] / hi["sec_min"], 1)
     out["replay_runs"] = {f"local{CPUS}": hi["runs"], f"loadavg{CPUS}": hi["loadavg"]}
 
+    if not os.environ.get("BENCH_SKIP_SKEW"):
+        # hot-(repo,path) skew evidence (the Kafka hash-partitioner
+        # hot-key hazard, kafka.go:120-128): SAME change-event volume as
+        # the headline trace, but with ~half the events concentrated in
+        # ONE key's consecutive-update storm. Replayed on the default
+        # single-exchange compaction AND the salted two-phase path
+        # (compact_pre_salt) — acceptance is hot <= 2x uniform at equal
+        # volume on at least one of them.
+        spark3 = _mk_spark(CPUS, "bench_hot_gen")
+        t0 = time.time()
+        half_amp = max(AMPLIFY // 2, 1)
+        half = generator.build_trace(spark3, SF_DIR, amplify=half_amp)
+        n_half = half.filter(F.col("op").isin("I", "U", "D", "T")).count()
+        hot_updates = max(out["events"] - n_half, 1)
+        hot_trace = generator.build_trace(
+            spark3, SF_DIR, amplify=half_amp, hot_updates=hot_updates
+        )
+        hot_dir = os.path.join(work, "trace_hot")
+        write_tx_aligned(hot_trace, hot_dir, num_files=max(CPUS * 2, 16))
+        queries["trace_gen_hot"] = round(time.time() - t0, 3)
+        spark3.stop()
+        hot = _run_replay(hot_dir, CPUS, buckets, reps=2)
+        hot_salted = _run_replay(hot_dir, CPUS, buckets, reps=2, pre_salt=16)
+        queries["replay_hot"] = hot["sec_min"]
+        queries["replay_hot_salted"] = hot_salted["sec_min"]
+        out["skew"] = {
+            "hot_events": hot["events"],
+            "hot_storm_rows": hot_updates,
+            "uniform_sec": out["value"],
+            "hot_sec": hot["sec_min"],
+            "hot_salted_sec": hot_salted["sec_min"],
+            "hot_over_uniform": round(hot["sec_min"] / out["value"], 3),
+            "hot_salted_over_uniform": round(
+                hot_salted["sec_min"] / out["value"], 3
+            ),
+        }
+
     if not os.environ.get("BENCH_SKIP_SCALING"):
         # the official N->4N pair (module docstring): defaults to 2->8,
         # the 4x ratio at parallelism levels that fit beside co-tenant
@@ -390,6 +432,9 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--replay":
-        replay_subcommand(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+        replay_subcommand(
+            sys.argv[2], int(sys.argv[3]), int(sys.argv[4]),
+            int(sys.argv[5]) if len(sys.argv) > 5 else 0,
+        )
     else:
         sys.exit(main())

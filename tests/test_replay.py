@@ -141,3 +141,60 @@ def test_noise_ops_ignored(spark, trace_rows, tmp_path):
     assert any(r["op"] in ("O", "Y") for r in rows)
     expected = oracle.apply_trace([r for r in rows if r["op"] not in ("O", "Y")])
     assert expected == oracle.apply_trace(rows)
+
+
+def test_hot_update_storm_replay(spark, tmp_path):
+    """A single key receiving a consecutive-update storm (hot_updates
+    knob) must converge to the storm's last version, identically on the
+    default single-exchange compaction and the salted two-phase path
+    (compact_pre_salt) — and the salted phase-1 plan must carry map-side
+    partial aggregation BEFORE its exchange (the property that collapses
+    the storm per map task at scale)."""
+    import hashlib as _h
+
+    n_hot = 400
+    trace = generator.build_trace(
+        spark, SF_DIR, amplify=1, hot_updates=n_hot
+    )
+    states = {}
+    for salt in (None, 8):
+        root = str(tmp_path / f"lake_s{salt}")
+        tb = LakeTable.create(
+            spark, root, ["repo", "path"], FIELDS, num_buckets=8
+        )
+        pipeline.replay_batch(
+            trace, tb,
+            PipelineConfig(num_buckets=8, compact_pre_salt=salt),
+            "b0",
+        )
+        states[salt] = _state(spark, root)
+    assert states[None] == states[8]
+    # the storm key's final state is the last hot update
+    hot_rows = [
+        v for v in states[None].values()
+        if v["content"] and f"#hv{n_hot - 1}" in v["content"]
+    ]
+    assert len(hot_rows) == 1
+    expected_commit = _h.sha256(f"hot:{n_hot - 1}".encode()).hexdigest()[:40]
+    assert hot_rows[0]["commit"] == expected_commit
+
+    # plan shape: phase-1 aggregation has a partial aggregate before its
+    # exchange (HashAggregate/SortAggregate appears on the map side)
+    from wal_listener_spark.operators import apply as apply_op
+    from wal_listener_spark.operators.registry import RelationRegistry
+
+    reg = RelationRegistry().update_from_trace(trace)
+    rel = pipeline.stamp_table_names(
+        trace.filter(F.col("op").isin("I", "U", "D")), reg
+    ).filter(F.col("rel_id") == 1)
+    plan = (
+        apply_op.compact_agg(rel, reg.relations[1], num_buckets=8, pre_salt=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    first_exchange = plan.index("Exchange")
+    assert "Aggregate" in plan[first_exchange:], plan
+    # ... and at least one aggregate runs BELOW the first exchange
+    # (plan strings print top-down: map-side partial agg appears after
+    # the exchange line it feeds)
+    below = plan[first_exchange:]
+    assert "Aggregate" in below

@@ -27,6 +27,12 @@ class PipelineConfig:
     num_buckets: int = 32
     #: skew salt for per-repo aggregations
     salt_buckets: int = 32
+    #: hot-key guard for the merge compaction: when set, compact_agg
+    #: pre-aggregates on (keys, salt(lsn)) with map-side combine so a
+    #: single key's update storm spreads across this many reducers
+    #: before the bucket repartition (operators/apply.py compact_agg).
+    #: None = default single-exchange plan (storm-free batches)
+    compact_pre_salt: int | None = None
     #: True (incremental epochs): stats pre-pass + touched-bucket-only
     #: merge. False (wide batches: full replay/backfill): single-job
     #: merge over all buckets, counters via observe — lower fixed

@@ -84,7 +84,12 @@ def last_write_wins(
     )
 
 
-def compact_agg(raw: DataFrame, schema, num_buckets: int | None = None) -> DataFrame:
+def compact_agg(
+    raw: DataFrame,
+    schema,
+    num_buckets: int | None = None,
+    pre_salt: int | None = None,
+) -> DataFrame:
     """Aggregation-based LWW compaction — the scale path.
 
     Equivalent to ``last_write_wins`` + typed projection, but built on
@@ -165,10 +170,35 @@ def compact_agg(raw: DataFrame, schema, num_buckets: int | None = None) -> DataF
     group_cols = list(key_cols)
     if num_buckets is not None:
         base = base.withColumn(BUCKET_COL, _bucket_expr(key_cols, num_buckets))
-        base = base.repartition(num_buckets, F.col(BUCKET_COL))
         group_cols = [BUCKET_COL, *key_cols]
 
-    agged = base.groupBy(*group_cols).agg(*aggs)
+    if pre_salt:
+        # Hot-(repo,path) update-storm guard. The default single-exchange
+        # plan repartitions on the bucket BEFORE aggregating, so a key
+        # with a 10^6-version chain sends every version to ONE reducer
+        # (AQE skew handling covers joins, not aggregates). Two-phase
+        # instead: phase 1 groups on (keys, salt(lsn)) — the groupBy's
+        # own exchange gets map-side partial aggregation, and the salt
+        # spreads any one key across pre_salt reducers; phase 2 re-maxes
+        # the per-salt winners inside the bucket repartition. Every agg
+        # here is a struct max, so re-aggregation is exact. The extra
+        # exchange carries <= pre_salt rows per key (compacted), which is
+        # why this is a knob and not the default: on storm-free batches
+        # it duplicates exchange volume for no benefit.
+        salted = base.withColumn(
+            "__salt", F.pmod(F.hash(F.col("lsn")), F.lit(pre_salt))
+        )
+        p1 = salted.groupBy(*group_cols, "__salt").agg(*aggs).drop("__salt")
+        reagg = [F.max("win").alias("win")] + [
+            F.max(f"__last_{c}").alias(f"__last_{c}") for c in value_cols
+        ]
+        if num_buckets is not None:
+            p1 = p1.repartition(num_buckets, F.col(BUCKET_COL))
+        agged = p1.groupBy(*group_cols).agg(*reagg)
+    else:
+        if num_buckets is not None:
+            base = base.repartition(num_buckets, F.col(BUCKET_COL))
+        agged = base.groupBy(*group_cols).agg(*aggs)
 
     out_cols = []
     if num_buckets is not None:

@@ -241,7 +241,8 @@ def replay_batch(
             )
         else:
             compacted = apply_op.compact_agg(
-                rel_rows, schema, num_buckets=rel_table.num_buckets
+                rel_rows, schema, num_buckets=rel_table.num_buckets,
+                pre_salt=cfg.compact_pre_salt,
             )
             if t_lsn is not None:
                 compacted = compacted.filter(

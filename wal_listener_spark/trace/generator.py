@@ -95,6 +95,11 @@ def num_keys(spark: SparkSession, sf_dir: str, amplify: int) -> int:
     return n_docs * amplify
 
 
+#: key receiving the hot-update storm (1: never the delete key 0, and
+#: below any realistic k_evo so the storm stays pre-evolution-arity)
+HOT_KEY = 1
+
+
 def build_trace(
     spark: SparkSession,
     sf_dir: str,
@@ -102,6 +107,7 @@ def build_trace(
     k_evo: int | None = None,
     k_tr: int | None = None,
     include_noise_ops: bool = True,
+    hot_updates: int = 0,
 ) -> DataFrame:
     """Full columnar trace: B/C/R/I/U/D (+T when ``k_tr``) rows.
 
@@ -110,6 +116,12 @@ def build_trace(
     ``k_tr``: emit a TRUNCATE barrier just before key ``k_tr``'s tx.
     ``include_noise_ops``: emit Origin 'O' / Type 'Y' rows that the
     pipeline must ignore (reference: parser.go:68-69, 94-95).
+    ``hot_updates``: append one giant transaction issuing this many
+    consecutive UPDATEs to the single key ``HOT_KEY`` — the
+    hot-(repo,path) update-storm skew shape (the analog of the
+    reference's hash-partitioner hot-key hazard, kafka.go:120-128).
+    Final state for HOT_KEY becomes content ``#hv{n-1}`` /
+    commit ``sha256('hot:{n-1}')[:40]``.
     """
     nk = num_keys(spark, sf_dir, amplify)
     if k_evo is None:
@@ -254,6 +266,74 @@ def build_trace(
             TRACE_SCHEMA,
         )
         parts.append(trunc)
+
+    if hot_updates:
+        # one transaction, LSN region after every key's slot: B at H0,
+        # updates at H0+1+i, C at H0+hot_updates+2 (globally unique,
+        # per-key monotone — the storm postdates HOT_KEY's base versions)
+        hot = keys.filter(k == HOT_KEY)
+        h0 = F.lit((nk + 10) * spec.SLOT).cast("long")
+        hot_tx = F.lit(nk + 10).cast("long")
+        hot_ts = F.col("epoch_ts") + F.make_interval(secs=F.lit(float(nk + 10)))
+        i_col = F.col("i")
+        hot_data = hot.withColumn(
+            "i", F.explode(F.sequence(F.lit(0), F.lit(hot_updates - 1)))
+        ).select(
+            (h0 + 1 + i_col).cast("long").alias("lsn"),
+            hot_tx.alias("tx_id"),
+            i_col.cast("int").alias("seq"),
+            F.lit("U").alias("op"),
+            F.lit(spec.REL_ID).alias("rel_id"),
+            F.lit(None).cast("string").alias("schema_name"),
+            F.lit(None).cast("string").alias("table_name"),
+            F.lit(None).cast(TRACE_SCHEMA["rel_columns"].dataType).alias(
+                "rel_columns"
+            ),
+            key_map.alias("old_vals"),
+            # per-update commit hash ('hot:' namespace) so LWW evidence
+            # does not degenerate to identical winning rows
+            F.create_map(
+                F.lit("repo"), F.col("repo"),
+                F.lit("path"), F.col("path"),
+                F.lit("commit"),
+                F.substring(
+                    F.sha2(
+                        F.concat(F.lit("hot:"), i_col.cast("string")), 256
+                    ),
+                    1,
+                    40,
+                ),
+                F.lit("lang"), F.col("lang"),
+                F.lit("content"),
+                F.concat(F.col("text"), F.lit("#hv"), i_col.cast("string")),
+            ).alias("new_vals"),
+            F.array().cast("array<string>").alias("toast_cols"),
+            F.lit(None).cast("timestamp").alias("commit_ts"),
+            F.lit(None).cast("int").alias("truncate_opts"),
+        )
+
+        def _hot_bc(op: str, lsn_col, seq: int) -> DataFrame:
+            return hot.select(
+                lsn_col.cast("long").alias("lsn"),
+                hot_tx.alias("tx_id"),
+                F.lit(seq).alias("seq"),
+                F.lit(op).alias("op"),
+                F.lit(None).cast("int").alias("rel_id"),
+                F.lit(None).cast("string").alias("schema_name"),
+                F.lit(None).cast("string").alias("table_name"),
+                F.lit(None)
+                .cast(TRACE_SCHEMA["rel_columns"].dataType)
+                .alias("rel_columns"),
+                F.lit(None).cast("map<string,string>").alias("old_vals"),
+                F.lit(None).cast("map<string,string>").alias("new_vals"),
+                F.lit(None).cast("array<string>").alias("toast_cols"),
+                hot_ts.alias("commit_ts"),
+                F.lit(None).cast("int").alias("truncate_opts"),
+            )
+
+        parts.append(_hot_bc("B", h0, -1))
+        parts.append(hot_data)
+        parts.append(_hot_bc("C", h0 + hot_updates + 2, 999))
 
     if include_noise_ops:
         noise = spark.createDataFrame(
