@@ -310,16 +310,115 @@ def main() -> None:
     # the throughput figure more faithful (8x the round-2 input)
     tail_small = generator.build_trace(spark, SF_DIR, amplify=DECODE_AMPLIFY * 2)
     generator.write_trace(tail_small, tail_dir, num_files=8)  # raw lsn split
-    tail_root = os.path.join(work, "tail_lake")
-    LakeTable.create(spark, tail_root, ["repo", "path"], FIELDS, num_buckets=buckets)
     n_tail = tail_small.filter(F.col("op").isin("I", "U", "D", "T")).count()
+
+    # headline: DRAIN mode (raw staging + batch-side tx assembly, one
+    # group merge) — the availableNow deep-backlog shape; best-of-2
+    # (shared host), fresh lake + checkpoint per rep
+    drain_runs = []
+    for rep in range(2):
+        tail_root = os.path.join(work, f"tail_lake{rep}")
+        LakeTable.create(
+            spark, tail_root, ["repo", "path"], FIELDS, num_buckets=buckets
+        )
+        _wait_quiet(60)
+        t0 = time.time()
+        run_tailing_stream(
+            spark, tail_dir, tail_root, os.path.join(work, f"tail_ckpt{rep}"),
+            cfg=PipelineConfig(num_buckets=buckets, selective_buckets=False),
+            max_files_per_trigger=4, group_commit_batches=64,
+        )
+        drain_runs.append(round(time.time() - t0, 3))
+    queries["tailing_replay"] = min(drain_runs)
+    out["tailing_eps"] = round(n_tail / min(drain_runs), 1)
+    out["tailing_runs"] = drain_runs
+
+    # secondary: the stateful per-trigger assembler (the LIVE-tail plan:
+    # applyInPandasWithState buffering + merge every trigger)
+    asm_root = os.path.join(work, "tail_lake_asm")
+    LakeTable.create(spark, asm_root, ["repo", "path"], FIELDS, num_buckets=buckets)
     t0 = time.time()
     run_tailing_stream(
-        spark, tail_dir, tail_root, os.path.join(work, "tail_ckpt"),
+        spark, tail_dir, asm_root, os.path.join(work, "tail_ckpt_asm"),
         cfg=PipelineConfig(num_buckets=buckets), max_files_per_trigger=4,
     )
-    queries["tailing_replay"] = round(time.time() - t0, 3)
-    out["tailing_eps"] = round(n_tail / queries["tailing_replay"], 1)
+    queries["tailing_assemble"] = round(time.time() - t0, 3)
+    out["tailing_assemble_eps"] = round(n_tail / queries["tailing_assemble"], 1)
+
+    # live-tail latency: feed lsn-sliced files into a processingTime
+    # stream (stateful assembler + marker TTL) and measure file-landed ->
+    # snapshot-commit wall latency per slice
+    import glob
+    import threading
+
+    import pyarrow.parquet as pq
+
+    from wal_listener_spark.streaming.tailing import run_live_tail
+
+    lat_trace = generator.build_trace(spark, SF_DIR, amplify=2)
+    lat_staged = os.path.join(work, "live_slices")
+    generator.write_trace(lat_trace, lat_staged, num_files=16)
+    lat_max = lat_trace.agg(F.max("lsn")).collect()[0][0]
+    parts = sorted(
+        os.path.basename(p) for p in glob.glob(lat_staged + "/*.parquet")
+    )
+    fmax: dict[str, int] = {}
+    for p in parts:
+        md = pq.ParquetFile(os.path.join(lat_staged, p)).metadata
+        fmax[p] = max(
+            md.row_group(i).column(0).statistics.max  # col 0 = lsn
+            for i in range(md.num_row_groups)
+        )
+    live_dir = os.path.join(work, "live_feed")
+    os.makedirs(live_dir)
+    live_root = os.path.join(work, "live_lake")
+    LakeTable.create(spark, live_root, ["repo", "path"], FIELDS, num_buckets=buckets)
+    feed_times: dict[str, float] = {}
+    # slice 0 lands before stream start (registry seeding needs R rows)
+    shutil.move(os.path.join(lat_staged, parts[0]), os.path.join(live_dir, parts[0]))
+    feed_times[parts[0]] = time.time()
+
+    def _feed() -> None:
+        for p in parts[1:]:
+            time.sleep(0.25)
+            shutil.move(os.path.join(lat_staged, p), os.path.join(live_dir, p))
+            feed_times[p] = time.time()
+
+    feeder = threading.Thread(target=_feed, daemon=True)
+    feeder.start()
+    records = run_live_tail(
+        spark, live_dir, live_root, os.path.join(work, "live_ckpt"),
+        cfg=PipelineConfig(num_buckets=buckets),
+        processing_interval="250 milliseconds", marker_ttl_ms=30_000,
+        until_lsn=lat_max, timeout_s=180.0,
+    )
+    feeder.join(timeout=10)
+    cum, applied_seq = -1, []
+    for r in records:
+        for m in (r["stats"].get("tables") or {}).values():
+            cum = max(cum, m.get("high_lsn") or -1)
+        applied_seq.append((r["t_commit"], cum))
+    lats = sorted(
+        (tc - feed_times[p]) * 1000
+        for p in feed_times
+        for tc, c in applied_seq
+        if c >= fmax[p] and tc >= feed_times[p]
+        # first qualifying commit only:
+        and not any(
+            c2 >= fmax[p] and feed_times[p] <= tc2 < tc
+            for tc2, c2 in applied_seq
+        )
+    )
+    if lats:
+        out["tailing_latency_ms"] = {
+            "p50": round(lats[len(lats) // 2], 1),
+            "p95": round(lats[min(len(lats) - 1, int(len(lats) * 0.95))], 1),
+            "slices": len(lats),
+            "trigger_ms": 250,
+            "events": int(lat_trace.filter(
+                F.col("op").isin("I", "U", "D", "T")
+            ).count()),
+        }
     spark.stop()
 
     # ---- headline replays: isolated cold-JVM subprocesses --------------

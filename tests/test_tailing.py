@@ -395,3 +395,128 @@ def test_tx_buckets_change_refuses_resume(spark, straddling_trace, tmp_path):
             PipelineConfig(num_buckets=8), max_files_per_trigger=6,
             tx_buckets=32,
         )
+
+
+def test_drain_mode_group_commit_matches_oracle(spark, straddling_trace, tmp_path):
+    """Drain mode (group_commit_batches): raw batches stage with no
+    stateful operator and merge in groups; transactions split across a
+    group boundary divert to the pending store and complete in the next
+    group merge. Final state must equal the sequential oracle."""
+    trace_dir, expected = straddling_trace
+    root = str(tmp_path / "lake")
+    _mk(spark, root)
+    stats = tailing.run_tailing_stream(
+        spark, trace_dir, root, str(tmp_path / "ckpt"),
+        PipelineConfig(num_buckets=8), max_files_per_trigger=1,
+        group_commit_batches=2,
+    )
+    got = _final(spark, root)
+    assert got == {k: e.get("content") for k, e in expected.items()}
+    # 6 files, merge every 2 staged batches (+ final drain)
+    assert len([s for s in stats if not s.get("noop")]) >= 3
+
+
+def test_drain_mode_recovers_leftover_staging(spark, straddling_trace, tmp_path):
+    """Crash between staging and the group merge: staged dirs survive,
+    the upstream batch is checkpoint-committed (never redelivered), and
+    the next run's startup merge drains them."""
+    import os
+
+    trace_dir, expected = straddling_trace
+    root = str(tmp_path / "lake")
+    _mk(spark, root)
+    ckpt = str(tmp_path / "ckpt")
+    # simulate the crash artifact: a staged batch nobody merged — here,
+    # the FULL trace staged as batch-0 with an empty checkpoint (as if
+    # the process died right after the stage write of the only batch...
+    staging = ckpt + "_staging"
+    (
+        spark.read.schema(generator.TRACE_SCHEMA).parquet(trace_dir)
+        .write.mode("overwrite").parquet(os.path.join(staging, "batch-0"))
+    )
+    # ...then the resume tails a source with nothing new)
+    empty_src = str(tmp_path / "empty_src")
+    os.makedirs(empty_src)
+    stats = tailing.run_tailing_stream(
+        spark, empty_src, root, ckpt,
+        PipelineConfig(num_buckets=8), group_commit_batches=4,
+    )
+    got = _final(spark, root)
+    assert got == {k: e.get("content") for k, e in expected.items()}
+    assert stats and stats[0]["batch_key"].startswith("tailstage-0")
+    assert not os.path.exists(os.path.join(staging, "batch-0"))
+
+
+def test_drain_mode_refuses_assemble_checkpoint(spark, straddling_trace, tmp_path):
+    trace_dir, _ = straddling_trace
+    root = str(tmp_path / "lake")
+    _mk(spark, root)
+    ckpt = str(tmp_path / "ckpt")
+    tailing.run_tailing_stream(
+        spark, trace_dir, root, ckpt, PipelineConfig(num_buckets=8),
+        max_files_per_trigger=6,
+    )
+    with pytest.raises(ValueError, match="mode"):
+        tailing.run_tailing_stream(
+            spark, trace_dir, root, ckpt, PipelineConfig(num_buckets=8),
+            group_commit_batches=2,
+        )
+
+
+def test_live_tail_latency_soak(spark, tmp_path):
+    """Live tail (processingTime + marker TTL): files fed while the
+    query runs commit within bounded latency and converge to the oracle
+    state. Latency samples (file-landed -> snapshot-commit wall time)
+    must exist and be positive for every fed slice."""
+    import os
+    import shutil
+    import threading
+    import time
+
+    from wal_listener_spark.streaming.tailing import run_live_tail
+
+    trace = generator.build_trace(spark, SF_DIR, amplify=1)
+    rows = [r.asDict(recursive=True) for r in trace.collect()]
+    expected = oracle.apply_trace(rows)
+    staged = str(tmp_path / "slices")
+    generator.write_trace(trace, staged, num_files=5)
+    parts = sorted(
+        f for f in os.listdir(staged) if f.endswith(".parquet")
+    )
+    max_lsn = max(r["lsn"] for r in rows)
+
+    live_dir = str(tmp_path / "live")
+    os.makedirs(live_dir)
+    root = str(tmp_path / "lake")
+    _mk(spark, root)
+    # Relation rows must be visible at stream start (seed_registry scans
+    # the dir before the feeder runs): feed slice 0 up front
+    feed_times = {}
+    shutil.move(os.path.join(staged, parts[0]), os.path.join(live_dir, parts[0]))
+    feed_times[parts[0]] = time.time()
+
+    def _feed():
+        for p in parts[1:]:
+            time.sleep(0.4)
+            shutil.move(os.path.join(staged, p), os.path.join(live_dir, p))
+            feed_times[p] = time.time()
+
+    feeder = threading.Thread(target=_feed, daemon=True)
+    feeder.start()
+    records = run_live_tail(
+        spark, live_dir, root, str(tmp_path / "ckpt"),
+        cfg=PipelineConfig(num_buckets=8),
+        processing_interval="200 milliseconds",
+        marker_ttl_ms=10_000,
+        until_lsn=max_lsn,
+        timeout_s=120.0,
+    )
+    feeder.join(timeout=10)
+    got = _final(spark, root)
+    assert got == {k: e.get("content") for k, e in expected.items()}
+    commits = [r for r in records if not r["stats"].get("noop")]
+    assert len(commits) >= 2  # multiple live triggers committed
+    # every slice commits after it landed: positive end-to-end latency
+    t_last_feed = max(feed_times.values())
+    t_last_commit = max(r["t_commit"] for r in commits)
+    assert t_last_commit > t_last_feed

@@ -205,6 +205,37 @@ def q_cdc_tailing_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_tailing_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain-mode tailing against the same final-state oracle: raw
+    micro-batches stage with NO stateful operator, and group merges
+    (every 2 staged batches here) assemble transactions batch-side —
+    incomplete txs divert to the pending store across group boundaries
+    and complete in a later merge (streaming/tailing.py drain_merge).
+    The deep-backlog twin of cdc_tailing_replay's per-trigger path."""
+    from .streaming.tailing import run_tailing_stream
+
+    trace = generator.build_trace(spark, sf_dir, amplify=AMPLIFY)
+    work = tempfile.mkdtemp(prefix="wal_drain_gate_")
+    trace_dir = os.path.join(work, "trace")
+    generator.write_trace(trace, trace_dir, num_files=6)
+    root = os.path.join(work, "lake")
+    LakeTable.create(spark, root, ["repo", "path"], FIELDS, num_buckets=16)
+    run_tailing_stream(
+        spark, trace_dir, root, os.path.join(work, "ckpt"),
+        cfg=PipelineConfig(num_buckets=16), max_files_per_trigger=2,
+        group_commit_batches=2,
+    )
+    return LakeTable.load(spark, root).read_public().select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        F.col("stars").cast("int").alias("stars"),
+        F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("content_sha"),
+    )
+
+
 def q_cdc_lww_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operator-level apply (window LWW + TOAST carry-forward), no sink."""
     return _final_state_df(spark, sf_dir)
@@ -530,6 +561,7 @@ def _oracle_cdc() -> dict[str, str]:
     base = {
         "cdc_replay_final_state": oracle_final_state(),
         "cdc_tailing_replay": oracle_final_state(),
+        "cdc_tailing_drain": oracle_final_state(),
         "cdc_lww_compaction": oracle_final_state(),
         "cdc_replay_overlap_dedup": oracle_final_state(),
         # truncate barrier just before key k_tr wipes exactly keys < k_tr
@@ -693,6 +725,7 @@ FROM documents""",
 CDC_QUERIES = {
     "cdc_replay_final_state": q_cdc_replay_final_state,
     "cdc_tailing_replay": q_cdc_tailing_replay,
+    "cdc_tailing_drain": q_cdc_tailing_drain,
     "cdc_lww_compaction": q_cdc_lww_compaction,
     "cdc_truncate": q_cdc_truncate,
     "cdc_filter_allowlist": q_cdc_filter_allowlist,

@@ -99,7 +99,10 @@ def run_replay_stream(
 
         if fail_at_batch is not None and batch_id >= fail_at_batch:
             raise RuntimeError(f"injected crash at epoch {batch_id}")
-        table = load_target(spark, table_root)
+        # use the micro-batch's cloned session so frames joined with
+        # batch_df share one QueryExecutionListener bus (outer-session
+        # frames deadlock Observation.get in the wide-mode merge)
+        table = load_target(batch_df.sparkSession, table_root)
         key = f"epoch-{batch_id}"
         try:
             s = replay_batch(batch_df, table, cfg, batch_key=key)

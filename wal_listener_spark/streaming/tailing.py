@@ -282,15 +282,164 @@ def seed_registry(spark: SparkSession, trace_dir: str, table_root: str) -> None:
         table.save_properties()
 
 
-def _pin_tx_buckets(checkpoint_dir: str, tx_buckets: int) -> None:
-    """Fail fast on a tx_buckets change against an existing checkpoint.
+def drain_merge(
+    spark: SparkSession,
+    staging_dir: str,
+    pending_dir: str,
+    markers_dir: str,
+    table_root: str,
+    cfg: PipelineConfig,
+    isin_threshold: int = 1024,
+    marker_retention: int = 64,
+) -> dict | None:
+    """One group merge of drain-mode staged batches: batch-side
+    transaction assembly + exactly-once replay.
+
+    Inputs: every staged raw micro-batch plus every surviving pending
+    generation. A column-pruned per-tx census (map-side combined — the
+    payload never shuffles) finds transactions with no Commit anywhere
+    in the inputs; their rows divert to a NEW pending generation, and a
+    small id set filters them out of the replay (literal ``isin`` under
+    ``isin_threshold`` ids, broadcast anti-join above — either way no
+    payload shuffle). Transactions a PREVIOUS group merge applied
+    release immediately with a synthesized Commit from the marker store
+    (the reference's WAL-buffer semantics, wal.go:21-30, done in batch).
+
+    Crash-safety is ordering, not locking — every step is recomputable
+    until the staged inputs are removed:
+      replay (idempotent on batch_key + column-level LWW) -> markers
+      (per-merge dir, overwrite) -> new pending generation (per-merge
+      dir, overwrite) -> staged cleanup -> old pending-gen cleanup.
+    A crash between any two steps re-runs the same merge from the same
+    inputs on the next startup; duplicated pending rows across
+    generations re-apply as LWW no-ops.
+    """
+    import os
+    import shutil
+
+    from ..lake.catalog import load_target
+
+    dirs = _staged_batch_dirs(staging_dir)
+
+    def _gens(d: str) -> list[str]:
+        """Generation dirs, oldest first (mtime order — names embed merge
+        keys, which do not sort chronologically)."""
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            (os.path.join(d, e) for e in os.listdir(d) if e.startswith("gen-")),
+            key=os.path.getmtime,
+        )
+
+    old_gens = _gens(pending_dir)
+    if not dirs and not old_gens:
+        return None
+    ids = [d.rsplit("-", 1)[1] for d in dirs]
+    key = f"tailstage-{ids[0]}-{ids[-1]}" if ids else "tailstage-pending"
+    rows = spark.read.schema(TRACE_SCHEMA).parquet(*(list(dirs) + old_gens))
+
+    # per-tx completeness census (control rows tx_id<0 are exempt)
+    census = (
+        rows.filter(F.col("tx_id") >= 0)
+        .groupBy("tx_id")
+        .agg(F.max(F.when(F.col("op") == "C", 1).otherwise(0)).alias("has_c"))
+    )
+    incomplete = census.filter(F.col("has_c") == 0).select("tx_id")
+
+    # stragglers of already-applied transactions: synthesize their Commit
+    synth_rows: list = []
+    marker_gens = _gens(markers_dir)
+    if marker_gens:
+        markers = spark.read.parquet(*marker_gens)
+        hits = (
+            incomplete.join(markers, "tx_id")
+            .groupBy("tx_id")
+            .agg(
+                F.max("commit_lsn").alias("commit_lsn"),
+                F.max("commit_ts").alias("commit_ts"),
+            )
+            .collect()
+        )
+        if hits:
+            incomplete = incomplete.join(
+                F.broadcast(markers.select("tx_id").distinct()), "tx_id", "anti"
+            )
+            for h in hits:
+                r = {c: None for c in _COLS}
+                r.update(
+                    tx_id=h["tx_id"], lsn=h["commit_lsn"], seq=0, op="C",
+                    commit_ts=h["commit_ts"],
+                )
+                synth_rows.append(tuple(r[c] for c in _COLS))
+
+    inc_ids = [r["tx_id"] for r in incomplete.collect()]
+    ctrl = F.col("tx_id") < 0
+    if not inc_ids:
+        complete, pending_new = rows, None
+    elif len(inc_ids) <= isin_threshold:
+        complete = rows.filter(ctrl | ~F.col("tx_id").isin(inc_ids))
+        pending_new = rows.filter((~ctrl) & F.col("tx_id").isin(inc_ids))
+    else:
+        id_df = spark.createDataFrame([(i,) for i in inc_ids], "tx_id long")
+        complete = rows.join(F.broadcast(id_df), "tx_id", "anti")
+        pending_new = rows.join(F.broadcast(id_df), "tx_id", "semi")
+    if synth_rows:
+        complete = complete.unionByName(
+            spark.createDataFrame(synth_rows, TRACE_SCHEMA)
+        )
+
+    table = load_target(spark, table_root)
+    stats = replay_batch(complete, table, cfg, batch_key=key)
+
+    # marker generation: applied commits of THIS merge (overwrite —
+    # re-running the same merge after a crash rewrites identical content)
+    (
+        complete.filter(F.col("op") == "C")
+        .select(
+            "tx_id",
+            F.col("lsn").alias("commit_lsn"),
+            F.col("commit_ts").alias("commit_ts"),
+        )
+        .write.mode("overwrite")
+        .option("compression", "snappy")
+        .parquet(os.path.join(markers_dir, f"gen-{key}"))
+    )
+    if pending_new is not None:
+        (
+            pending_new.write.mode("overwrite")
+            .option("compression", "snappy")
+            .parquet(os.path.join(pending_dir, f"gen-{key}"))
+        )
+    # inputs now fully represented in (lake, markers, new pending gen)
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    for g in old_gens:
+        shutil.rmtree(g, ignore_errors=True)
+    # marker retention: stragglers older than this many group merges
+    # re-buffer as pending instead of releasing (same degradation as an
+    # expired in-state marker; size to the source's redelivery horizon)
+    gens_now = _gens(markers_dir)
+    for g in gens_now[: max(0, len(gens_now) - marker_retention)]:
+        shutil.rmtree(g, ignore_errors=True)
+    return stats
+
+
+def _pin_tx_buckets(
+    checkpoint_dir: str, tx_buckets: int, mode: str = "assemble"
+) -> None:
+    """Fail fast on a tx_buckets or MODE change against an existing
+    checkpoint.
 
     The bucket count IS the state key space: resuming with a different
     value would look up every open transaction under the wrong key and
     silently re-buffer (or mis-release) — the same class of hazard as
     changing spark.sql.shuffle.partitions on a stateful checkpoint,
-    which Spark guards internally. Pin the value beside the checkpoint
-    and refuse a mismatched resume with an actionable error."""
+    which Spark guards internally. The mode matters too: an 'assemble'
+    checkpoint holds buffered transactions in its state store that a
+    'drain' resume would never release (and vice versa, a drain
+    checkpoint's staging/pending dirs are invisible to the stateful
+    plan). Pin both beside the checkpoint and refuse a mismatched
+    resume with an actionable error."""
     import json
     import os
 
@@ -299,7 +448,8 @@ def _pin_tx_buckets(checkpoint_dir: str, tx_buckets: int) -> None:
     if os.path.exists(pin):
         try:
             with open(pin) as f:
-                pinned = json.load(f)["tx_buckets"]
+                doc = json.load(f)
+            pinned = doc["tx_buckets"]
         except (ValueError, KeyError) as e:
             raise ValueError(
                 f"tx_buckets pin {pin} is unreadable ({e!r}) — the "
@@ -307,6 +457,16 @@ def _pin_tx_buckets(checkpoint_dir: str, tx_buckets: int) -> None:
                 "Start from a fresh checkpoint, or restore the pin to "
                 "the original tx_buckets value if it is known."
             ) from e
+        pinned_mode = doc.get("mode", "assemble")
+        if pinned_mode != mode:
+            raise ValueError(
+                f"checkpoint {checkpoint_dir} was created in "
+                f"{pinned_mode!r} mode, refusing to resume in {mode!r}: "
+                "buffered transactions live in the state store "
+                "('assemble') or in staging/pending dirs ('drain') and "
+                "neither mode can see the other's. Drain the original "
+                "mode to completion or start a fresh checkpoint."
+            )
         if pinned != tx_buckets:
             raise ValueError(
                 f"checkpoint {checkpoint_dir} was created with "
@@ -321,8 +481,91 @@ def _pin_tx_buckets(checkpoint_dir: str, tx_buckets: int) -> None:
         # a truncated pin that poisons every later resume
         tmp = pin + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"tx_buckets": tx_buckets}, f)
+            json.dump({"tx_buckets": tx_buckets, "mode": mode}, f)
         os.replace(tmp, pin)
+
+
+def run_live_tail(
+    spark: SparkSession,
+    trace_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    cfg: PipelineConfig | None = None,
+    processing_interval: str = "500 milliseconds",
+    marker_ttl_ms: int = 60_000,
+    tx_buckets: int = DEFAULT_TX_BUCKETS,
+    until_lsn: int | None = None,
+    timeout_s: float = 180.0,
+) -> list[dict]:
+    """LIVE tail: processingTime micro-triggers + marker TTL, merging
+    every trigger (latency over throughput — the processingTime twin of
+    ``run_tailing_stream``'s availableNow drain). Runs until the lake's
+    applied-LSN watermark reaches ``until_lsn`` (or ``timeout_s``), so a
+    caller feeding files concurrently can measure event-to-commit
+    latency: each returned record carries the wall-clock time its
+    snapshot commit finished plus the replay stats (``high_lsn`` inside
+    per-table stats). The reference's analog loop is
+    listener.go:388-436 — publish then ack, here merge then snapshot."""
+    import time as _time
+
+    from ..lake.catalog import load_target
+
+    cfg = cfg or PipelineConfig()
+    records: list[dict] = []
+
+    _pin_tx_buckets(checkpoint_dir, tx_buckets, mode="assemble")
+    seed_registry(spark, trace_dir, table_root)
+
+    def _apply(batch_df, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            table = load_target(batch_df.sparkSession, table_root)
+            s = replay_batch(batch_df, table, cfg, batch_key=f"live-{batch_id}")
+        finally:
+            batch_df.unpersist()
+        records.append({"t_commit": _time.time(), "stats": s})
+
+    released = assemble_stream(
+        spark.readStream.schema(TRACE_SCHEMA).parquet(trace_dir),
+        marker_ttl_ms=marker_ttl_ms,
+        tx_buckets=tx_buckets,
+    )
+    query = (
+        released.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=processing_interval)
+        .start()
+    )
+    t0 = _time.time()
+    try:
+        while _time.time() - t0 < timeout_s:
+            if query.exception() is not None:
+                raise query.exception()
+            if until_lsn is not None:
+                applied = getattr(
+                    load_target(spark, table_root), "last_applied_lsn", None
+                )
+                if applied is not None and applied >= until_lsn:
+                    break
+            _time.sleep(0.2)
+    finally:
+        query.stop()
+    return records
+
+
+def _staged_batch_dirs(staging_dir: str) -> list[str]:
+    import os
+
+    if not os.path.isdir(staging_dir):
+        return []
+    return sorted(
+        (
+            os.path.join(staging_dir, e)
+            for e in os.listdir(staging_dir)
+            if e.startswith("batch-")
+        ),
+        key=lambda p: int(p.rsplit("-", 1)[1]),
+    )
 
 
 def run_tailing_stream(
@@ -334,6 +577,7 @@ def run_tailing_stream(
     max_files_per_trigger: int | None = 1,
     state_partitions: int | None = None,
     tx_buckets: int = DEFAULT_TX_BUCKETS,
+    group_commit_batches: int | None = None,
 ) -> list[dict]:
     """Tail a NON-tx-aligned trace directory: stateful assembly releases
     complete transactions into the same exactly-once merge.
@@ -346,15 +590,78 @@ def run_tailing_stream(
     Python workers parallelize by state partition, and that beats the
     saved state-store delta files). Pin it low only for a genuinely
     trickle-rate live tail where per-trigger input is tiny and the
-    delta-file commit cost dominates."""
+    delta-file commit cost dominates.
+
+    ``group_commit_batches``: when set, the query runs in DRAIN mode —
+    the deep-backlog (availableNow) shape. Each trigger only STAGES the
+    raw micro-batch to parquet (pure JVM file-to-file, no stateful
+    operator, no Python, no shuffle), and every N staged batches — plus
+    once at stream end — one group merge assembles transactions IN
+    BATCH: a column-pruned per-tx census finds transactions with no
+    Commit in the staged+pending set, their rows divert to a pending
+    store, everything else replays in one ``replay_batch`` whose fixed
+    cost (~10s) is paid once per group instead of per trigger. An
+    applied-commit marker store (tx_id, commit lsn/ts parquet) lets a
+    straggler row of a transaction applied by an EARLIER group merge
+    release with a synthesized Commit — the same semantics the stateful
+    assembler's in-state markers give a live tail. Crash-safe: the
+    staging/pending/marker directories are the source of truth — a
+    batch whose foreachBatch returned is checkpoint-committed and never
+    redelivered, but its staged files survive and merge on the next
+    run's startup; the column-level LWW makes a re-merge after a crash
+    between snapshot commit and staging cleanup a no-op. Leave None for
+    live (processingTime) tails where per-trigger commit latency is the
+    point and the in-state marker TTL does the bookkeeping."""
+    import os
+    import shutil
+
     cfg = cfg or PipelineConfig()
     stats: list[dict] = []
 
-    _pin_tx_buckets(checkpoint_dir, tx_buckets)
+    _pin_tx_buckets(
+        checkpoint_dir, tx_buckets,
+        mode="drain" if group_commit_batches else "assemble",
+    )
     seed_registry(spark, trace_dir, table_root)
 
+    staging_dir = checkpoint_dir.rstrip("/") + "_staging"
+    pending_dir = checkpoint_dir.rstrip("/") + "_pending"
+    markers_dir = checkpoint_dir.rstrip("/") + "_markers"
+
+    def _merge_staged() -> None:
+        s = drain_merge(
+            spark, staging_dir, pending_dir, markers_dir, table_root, cfg
+        )
+        if s is not None:
+            stats.append(s)
+
+    # crash recovery: staged-but-unmerged batches from a previous run
+    # are already checkpoint-committed upstream and will NOT redeliver —
+    # merge them before tailing on
+    if group_commit_batches:
+        _merge_staged()
+
     def _apply(batch_df, batch_id: int) -> None:
+        # NB: batch_df belongs to the micro-batch's CLONED SparkSession.
+        # Everything merged/joined with it must come from the same
+        # session — frames from the outer session break
+        # QueryExecutionListener delivery and deadlock Observation.get
+        # (wide-mode merge counters), so load_target uses the batch's
+        # own session.
         from ..lake.catalog import load_target
+
+        if group_commit_batches:
+            # drain mode: stage the raw batch; assembly happens in the
+            # group merge (one action, no state store in the plan)
+            d = os.path.join(staging_dir, f"batch-{batch_id}")
+            (
+                batch_df.write.mode("overwrite")
+                .option("compression", "snappy")
+                .parquet(d)
+            )
+            if len(_staged_batch_dirs(staging_dir)) >= group_commit_batches:
+                _merge_staged()
+            return
 
         # Persist the released batch: its lineage runs through the
         # stateful Python assembler, and replay_batch triggers ~3 jobs
@@ -368,7 +675,7 @@ def run_tailing_stream(
         # parquet read.
         batch_df = batch_df.persist()
         try:
-            table = load_target(spark, table_root)
+            table = load_target(batch_df.sparkSession, table_root)
             s = replay_batch(batch_df, table, cfg, batch_key=f"tail-{batch_id}")
         finally:
             batch_df.unpersist()
@@ -378,7 +685,13 @@ def run_tailing_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(trace_dir)
-    released = assemble_stream(stream, tx_buckets=tx_buckets)
+    # drain mode: no stateful operator in the plan — triggers only
+    # stage; assembly happens batch-side in drain_merge
+    released = (
+        stream
+        if group_commit_batches
+        else assemble_stream(stream, tx_buckets=tx_buckets)
+    )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions:
         # the stream reads the conf once at query start and bakes it
@@ -402,4 +715,6 @@ def run_tailing_stream(
     finally:
         if query.isActive:
             query.stop()
+    if group_commit_batches:
+        _merge_staged()  # drain whatever the last group left staged
     return stats
