@@ -495,7 +495,25 @@ def test_live_tail_latency_soak(spark, tmp_path):
     shutil.move(os.path.join(staged, parts[0]), os.path.join(live_dir, parts[0]))
     feed_times[parts[0]] = time.time()
 
+    # Gate the later slices on the FIRST commit landing (VERSION pointer
+    # advances): a sleep-based feeder is flaky when host load delays the
+    # first trigger past the whole feed window — then everything commits
+    # in one batch and the >=2-commits assertion fails spuriously.
+    version_file = os.path.join(root, "manifest", "VERSION")
+
+    def _version() -> str:
+        try:
+            with open(version_file) as f:
+                return f.read()
+        except OSError:
+            return ""
+
+    v0 = _version()
+
     def _feed():
+        t0 = time.time()
+        while _version() == v0 and time.time() - t0 < 60:
+            time.sleep(0.2)
         for p in parts[1:]:
             time.sleep(0.4)
             shutil.move(os.path.join(staged, p), os.path.join(live_dir, p))
