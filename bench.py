@@ -13,9 +13,10 @@ its own subprocess (cold JVM) so JIT warm-up can't tilt comparisons.
 Scaling evidence (the N -> 4N executor rule, sandbox proxy): the SAME
 input replayed at BENCH_SCALE_LO vs BENCH_SCALE_HI local threads
 (default 2 -> 8: the rule's 4x ratio at parallelism levels that fit
-beside co-tenant load), at BENCH_SCALE_AMPLIFY (default 4x the headline
-trace — fixed per-epoch seconds amortize), with a bounded quiet-window
-wait before each timed rep. Three figures are reported:
+beside co-tenant load), at BENCH_SCALE_AMPLIFY (default 8x the headline
+trace — per-run fixed seconds amortize), reps INTERLEAVED across sides
+so both sample the same host weather, each rep gated on a bounded
+quiet-window wait. Three figures are reported:
 
   efficiency_wall         = (thr_hi / thr_lo) / (cpus_hi / cpus_lo)
   cpu_inflation           = jvm_cpu_hi / jvm_cpu_lo   (same events!)
@@ -73,12 +74,12 @@ HEADLINE_REPS = int(os.environ.get("BENCH_REPS", "3"))
 #: hi side carries the fixed seconds — 8x (33.5M events) amortizes them
 #: to where the RAW WALL figure clears the rule (0.743 vs 0.690 at 4x)
 SCALE_AMPLIFY = int(os.environ.get("BENCH_SCALE_AMPLIFY", str(AMPLIFY * 8)))
-#: 4 reps per side (+ up to BENCH_POLLUTED_EXTRA retried attempts for
-#: reps that measured through a detected disturbance): the scaling pair
-#: is the round's gate number, and on a shared host min-of-2/3 still
-#: got polluted when a co-tenant burst overlapped a whole side
-#: (observed rounds 2-3: artifact 0.787-0.791 vs 0.82-0.88 on
-#: independent runs of the same protocol)
+#: 4 INTERLEAVED rep-pairs (lo,hi,hi,lo,...; one cold-JVM subprocess
+#: per rep, + up to BENCH_POLLUTED_EXTRA retried attempts per rep for
+#: detected disturbances): the scaling pair is the round's gate number,
+#: and on a shared host running each side as its own multi-minute block
+#: meant the two sides sampled DIFFERENT host weather — round 4's
+#: artifact compared a clean lo rep against four contended hi reps
 SCALE_REPS = int(os.environ.get("BENCH_SCALE_REPS", "4"))
 DECODE_AMPLIFY = max(AMPLIFY // 10, 1)
 
@@ -192,9 +193,14 @@ def _mk_spark(cpus: int, name: str):
             # GC parallelism = task parallelism: ParallelGC otherwise
             # spawns host-width (32) GC threads, so a "local[2]" JVM
             # burns far more than 2 cores during GC — a real N-core
-            # executor gets N GC threads, and the scaling proxy must too
+            # executor gets N GC threads, and the scaling proxy must too.
+            # -Xms = -Xmx: lazy heap growth triggers Full GC pauses mid-
+            # census (measured: 12 Full GCs in one 33M-event control
+            # scan); production executors pin the heap for the same
+            # reason
             "spark.driver.extraJavaOptions": (
-                f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(cpus, 2)}"
+                f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(cpus, 2)} "
+                f"-Xms{os.environ.get('SPARK_DRIVER_MEM', '24g')}"
             ),
         },
     )
@@ -254,7 +260,12 @@ def replay_subcommand(
             spark, os.path.join(work, f"lake{len(runs)}"), ["repo", "path"],
             FIELDS, num_buckets=buckets,
         )
-        _wait_quiet()
+        # the quiet gate scales with OUR width: a 2-thread rep beside an
+        # 8-core co-tenant burst is polluted even though host-relative
+        # load looks moderate
+        _wait_quiet(
+            thresh=max(2.0, min(cpus * 0.75, (os.cpu_count() or 32) * 0.33))
+        )
         c0 = _child_cpu_seconds()
         t0 = time.time()
         replay_batch(
@@ -269,7 +280,10 @@ def replay_subcommand(
         cpu = round(_child_cpu_seconds() - c0, 2)
         load1 = float(open("/proc/loadavg").read().split()[0])
         strays = _stray_jvms()
-        dirty = bool(strays) or load1 > cpus + max(2.5, cpus * 0.5)
+        # end-of-rep 1-min loadavg much above our own thread count means
+        # a co-tenant ran beside the rep (threshold r4: was cpus*1.5,
+        # which let 3-4-core bursts pollute 8-thread reps undetected)
+        dirty = bool(strays) or load1 > cpus + 2.0
         runs.append((wall, cpu))
         if dirty:
             polluted_log.append(
@@ -567,17 +581,46 @@ def main() -> None:
             write_tx_aligned(strace, scale_dir, num_files=max(CPUS * 3, 24))
             queries["trace_gen_scale"] = round(time.time() - t0, 3)
             spark2.stop()
-        lo = _run_replay(scale_dir, SCALE_LO, buckets, reps=SCALE_REPS,
-                         quiet_wait_s=300, warm_rows=250000)
-        hi_s = _run_replay(scale_dir, SCALE_HI, buckets, reps=SCALE_REPS,
-                          quiet_wait_s=300, warm_rows=250000)
-        for tag, r in ((SCALE_LO, lo), (SCALE_HI, hi_s)):
-            queries[f"replay_local{tag}"] = r["sec_min"]
-            out["replay_runs"][f"local{tag}"] = r["runs"]
-            out["replay_runs"][f"local{tag}_cpu"] = r["runs_cpu"]
-            out["replay_runs"][f"loadavg{tag}"] = r["loadavg"]
-            if r.get("polluted"):
-                out["replay_runs"][f"local{tag}_polluted"] = r["polluted"]
+        # INTERLEAVED reps: one subprocess per rep, alternating sides
+        # (and alternating which side leads each pair). The round-4 run
+        # that motivated this ran each side as its own ~20-minute block
+        # — the lo block caught a late quiet window (clean rep: 415 CPU
+        # s) while every hi rep measured through co-tenant load (608-990
+        # CPU s), and the independent minima compared a clean lo against
+        # a contended hi. Alternating reps makes both sides sample the
+        # SAME host weather, so a quiet window benefits whichever sides
+        # run inside it. Each subprocess warms with a 2M-row slice (the
+        # same absolute JIT work on both sides; residual compile seconds
+        # then bias, mildly, AGAINST the hi side's shorter wall — the
+        # conservative direction).
+        sides: dict[int, dict] = {
+            SCALE_LO: {"runs": [], "runs_cpu": [], "polluted": [], "loadavg": []},
+            SCALE_HI: {"runs": [], "runs_cpu": [], "polluted": [], "loadavg": []},
+        }
+        scale_events = 0
+        for i in range(SCALE_REPS):
+            order = (SCALE_LO, SCALE_HI) if i % 2 == 0 else (SCALE_HI, SCALE_LO)
+            for n in order:
+                r = _run_replay(scale_dir, n, buckets, reps=1,
+                                quiet_wait_s=240, warm_rows=2_000_000)
+                sides[n]["runs"] += r["runs"]
+                sides[n]["runs_cpu"] += r["runs_cpu"]
+                sides[n]["polluted"] += r.get("polluted") or []
+                sides[n]["loadavg"].append(r["loadavg"])
+                scale_events = r["events"]
+        lo = {"sec_min": min(sides[SCALE_LO]["runs"]),
+              "cpu_sec_min": min(sides[SCALE_LO]["runs_cpu"]),
+              "events": scale_events}
+        hi_s = {"sec_min": min(sides[SCALE_HI]["runs"]),
+                "cpu_sec_min": min(sides[SCALE_HI]["runs_cpu"]),
+                "events": scale_events}
+        for tag in (SCALE_LO, SCALE_HI):
+            queries[f"replay_local{tag}"] = min(sides[tag]["runs"])
+            out["replay_runs"][f"local{tag}"] = sides[tag]["runs"]
+            out["replay_runs"][f"local{tag}_cpu"] = sides[tag]["runs_cpu"]
+            out["replay_runs"][f"loadavg{tag}"] = ",".join(sides[tag]["loadavg"])
+            if sides[tag]["polluted"]:
+                out["replay_runs"][f"local{tag}_polluted"] = sides[tag]["polluted"]
         thr_lo = lo["events"] / lo["sec_min"]
         thr_hi = hi_s["events"] / hi_s["sec_min"]
         eff_wall = (thr_hi / thr_lo) / (SCALE_HI / SCALE_LO)

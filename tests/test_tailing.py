@@ -447,6 +447,73 @@ def test_drain_mode_recovers_leftover_staging(spark, straddling_trace, tmp_path)
     assert not os.path.exists(os.path.join(staging, "batch-0"))
 
 
+def test_drain_merge_rerun_after_partial_crash_is_noop(
+    spark, straddling_trace, tmp_path
+):
+    """Crash AFTER the replay applied but BEFORE staged cleanup: the
+    next startup re-runs the same group merge from the same inputs. The
+    re-merge must converge to the same state (same batch_key -> epoch
+    no-op; marker/pending generations are deterministic overwrites)."""
+    import os
+    import shutil
+
+    trace_dir, expected = straddling_trace
+    root = str(tmp_path / "lake")
+    _mk(spark, root)
+    staging = str(tmp_path / "staging")
+    pending = str(tmp_path / "pending")
+    markers = str(tmp_path / "markers")
+    # stage the first 4 lsn-sliced files as two raw batches (split mid-
+    # transaction), keep the rest for a later merge
+    parts = sorted(
+        f for f in os.listdir(trace_dir) if f.endswith(".parquet")
+    )
+    for i, grp in enumerate((parts[:2], parts[2:4])):
+        d = os.path.join(staging, f"batch-{i}")
+        os.makedirs(d)
+        for p in grp:
+            shutil.copy(os.path.join(trace_dir, p), os.path.join(d, p))
+    backup = str(tmp_path / "staged_backup")
+    shutil.copytree(staging, backup)
+
+    tailing.seed_registry(spark, trace_dir, root)
+    cfg = PipelineConfig(num_buckets=8)
+    stats1 = tailing.drain_merge(spark, staging, pending, markers, root, cfg)
+    assert stats1 and not stats1.get("noop")
+    state1 = _final(spark, root)
+
+    def _pending_txs():
+        if not os.path.isdir(pending) or not os.listdir(pending):
+            return set()
+        df = spark.read.schema(generator.TRACE_SCHEMA).parquet(
+            *[os.path.join(pending, g) for g in os.listdir(pending)]
+        )
+        return {r["tx_id"] for r in df.select("tx_id").distinct().collect()}
+
+    pend1 = _pending_txs()
+    assert os.path.isdir(markers) and os.listdir(markers)
+
+    # crash-before-cleanup: the SAME staged inputs reappear, pending/
+    # marker generations from the applied merge already exist
+    shutil.rmtree(staging)
+    shutil.copytree(backup, staging)
+    stats2 = tailing.drain_merge(spark, staging, pending, markers, root, cfg)
+    # the rerun replays the pending-gen rows too; state must not move
+    # and the pending store must re-derive the same incomplete-tx set
+    assert _final(spark, root) == state1
+    assert _pending_txs() == pend1
+    # third merge drains the remaining files + pending: full convergence
+    d = os.path.join(staging, "batch-9")
+    os.makedirs(d)
+    for p in parts[4:]:
+        shutil.copy(os.path.join(trace_dir, p), os.path.join(d, p))
+    tailing.drain_merge(spark, staging, pending, markers, root, cfg)
+    assert _final(spark, root) == {
+        k: e.get("content") for k, e in expected.items()
+    }
+    assert stats2 is not None
+
+
 def test_drain_mode_refuses_assemble_checkpoint(spark, straddling_trace, tmp_path):
     trace_dir, _ = straddling_trace
     root = str(tmp_path / "lake")

@@ -29,6 +29,29 @@ from .operators.registry import RelationRegistry, RelationSchema, typed_changes
 STAMP_BROADCAST_THRESHOLD = 16
 
 
+def _phase_timer():
+    """Env-gated phase timing (``WAL_TIMING=1``): stderr lines per
+    replay phase, for finding where non-compute wall seconds go (driver
+    scheduling gaps, stage tails). Zero cost when unset."""
+    import os
+    import sys
+    import time
+
+    if not os.environ.get("WAL_TIMING"):
+        return lambda label: None
+    state = {"t": time.time()}
+
+    def mark(label: str) -> None:
+        now = time.time()
+        print(
+            f"[wal-timing] {label}: {now - state['t']:.2f}s",
+            file=sys.stderr, flush=True,
+        )
+        state["t"] = now
+
+    return mark
+
+
 def stamp_table_names(df: DataFrame, registry: RelationRegistry) -> DataFrame:
     """Data rows carry only rel_id; resolve schema/table from the
     registry (the T1 registry lookup, wal.go:70-76). Few relations:
@@ -112,6 +135,7 @@ def replay_batch(
     """
     from .lake.catalog import LakeCatalog
 
+    mark = _phase_timer()
     is_catalog = isinstance(table, LakeCatalog)
     # NOTE: deliberately NOT persisting the batch. The columnar cache
     # build for map/array-typed rows costs more than the 2-3 extra
@@ -125,12 +149,32 @@ def replay_batch(
     # seconds of fixed scheduling/barrier latency that dominates small
     # epochs and caps scaling efficiency on big ones; the scan is
     # column-pruned (never touches the payload maps).
-    per_tx = trace.groupBy("tx_id").agg(
+    # The per-tx aggregate carries ONLY primitive aggs. Collecting the
+    # (rare) Truncate/Relation structs inside this groupBy allocated two
+    # list buffers PER GROUP — an OLTP-shaped trace has ~2 rows/tx, so a
+    # 33M-event batch made 16M groups x 2 = 32M list buffers and spent
+    # most of the census in GC full pauses (measured: 23-29s -> 5.6s at
+    # local[8] after moving T/R collection to a filtered side aggregate).
+    per_tx = trace.select("tx_id", "lsn", "op").groupBy("tx_id").agg(
         F.max("lsn").alias("hi_lsn"),
         F.sum(
             F.when(F.col("op").isin("I", "U", "D"), 1).otherwise(0)
         ).alias("n_changes"),
         F.max(F.when(F.col("op") == "C", 1).otherwise(0)).alias("has_commit"),
+    )
+    summary = per_tx.agg(
+        F.max("hi_lsn").alias("high_lsn"),
+        F.collect_list(
+            F.when(
+                (F.col("n_changes") > 0) & (F.col("has_commit") == 0),
+                F.struct("tx_id", "n_changes"),
+            )
+        ).alias("bad"),
+    )
+    # T/R rows are a vanishing fraction of the trace: collect them from
+    # a pushed-down filtered scan, cross-joined into the same single-row
+    # result so the whole control plane stays ONE driver action
+    ctrl_rows = trace.filter(F.col("op").isin("T", "R")).agg(
         F.collect_list(
             F.when(F.col("op") == "T", F.struct("rel_id", "lsn"))
         ).alias("truncs"),
@@ -141,17 +185,8 @@ def replay_batch(
             )
         ).alias("rels"),
     )
-    ctl = per_tx.agg(
-        F.max("hi_lsn").alias("high_lsn"),
-        F.flatten(F.collect_list("truncs")).alias("truncs"),
-        F.flatten(F.collect_list("rels")).alias("rels"),
-        F.collect_list(
-            F.when(
-                (F.col("n_changes") > 0) & (F.col("has_commit") == 0),
-                F.struct("tx_id", "n_changes"),
-            )
-        ).alias("bad"),
-    ).collect()[0]
+    ctl = summary.crossJoin(ctrl_rows).collect()[0]
+    mark("census")
 
     registry = RelationRegistry.from_json(table.properties.get("registry"))
     registry.update_from_rows(ctl["rels"] or [])
@@ -284,6 +319,7 @@ def replay_batch(
         table.properties["registry"] = registry.to_json()
         table.save_properties()
 
+    mark("merges")
     if stats["tables"] and all(m.get("noop") for m in stats["tables"].values()):
         stats["noop"] = True
 
