@@ -128,6 +128,15 @@ def _stray_jvms() -> list[str]:
     return strays
 
 
+def _steal_ticks() -> int:
+    """Hypervisor steal ticks (host-wide, cumulative). The host is a VM
+    on shared hardware: co-tenant VMs are invisible to loadavg and ps,
+    but the time they steal from our vCPUs lands here — the round-4
+    artifact's contended reps (JVM CPU inflated 30-70% at quiet loadavg)
+    motivated gating on it."""
+    return int(open("/proc/stat").readline().split()[8])
+
+
 def _wait_quiet(max_wait_s: int | None = None, thresh: float | None = None) -> None:
     """Hold the next timed rep until the host calms down (co-tenant
     bursts of 8-18 cores were recorded; measuring through one measures
@@ -141,14 +150,20 @@ def _wait_quiet(max_wait_s: int | None = None, thresh: float | None = None) -> N
         max_wait_s = int(os.environ.get("BENCH_QUIET_WAIT", "120"))
     if thresh is None:
         thresh = (os.cpu_count() or 32) * 0.33
+    hz = os.sysconf("SC_CLK_TCK")
+    ncpu = os.cpu_count() or 32
     t0 = time.time()
     while time.time() - t0 < max_wait_s:
+        s0 = _steal_ticks()
+        time.sleep(2)
+        steal_frac = (_steal_ticks() - s0) / hz / (2.0 * ncpu)
         if (
             float(open("/proc/loadavg").read().split()[0]) < thresh
+            and steal_frac < 0.01
             and not _stray_jvms()
         ):
             return
-        time.sleep(10)
+        time.sleep(8)
 
 
 def _child_cpu_seconds() -> float:
@@ -267,6 +282,7 @@ def replay_subcommand(
             thresh=max(2.0, min(cpus * 0.75, (os.cpu_count() or 32) * 0.33))
         )
         c0 = _child_cpu_seconds()
+        st0 = _steal_ticks()
         t0 = time.time()
         replay_batch(
             trace, table,
@@ -278,16 +294,25 @@ def replay_subcommand(
         )
         wall = round(time.time() - t0, 3)
         cpu = round(_child_cpu_seconds() - c0, 2)
+        steal_s = round((_steal_ticks() - st0) / os.sysconf("SC_CLK_TCK"), 2)
         load1 = float(open("/proc/loadavg").read().split()[0])
         strays = _stray_jvms()
-        # end-of-rep 1-min loadavg much above our own thread count means
-        # a co-tenant ran beside the rep (threshold r4: was cpus*1.5,
-        # which let 3-4-core bursts pollute 8-thread reps undetected)
-        dirty = bool(strays) or load1 > cpus + 2.0
-        runs.append((wall, cpu))
+        # Three pollution signals: a foreign JVM; end-of-rep 1-min
+        # loadavg much above our own thread count (in-VM co-tenant; the
+        # r3 threshold of cpus*1.5 let 3-4-core bursts pollute 8-thread
+        # reps undetected); hypervisor steal above 3% of the rep's own
+        # CPU budget (co-tenant VMs — invisible to loadavg/ps, but they
+        # inflated r4 rep JVM-CPU 30-70% on a loadavg-quiet host)
+        dirty = (
+            bool(strays)
+            or load1 > cpus + 2.0
+            or steal_s > 0.03 * wall * cpus
+        )
+        runs.append((wall, cpu, steal_s))
         if dirty:
             polluted_log.append(
-                {"rep": len(runs) - 1, "loadavg": load1, "strays": strays[:4]}
+                {"rep": len(runs) - 1, "loadavg": load1,
+                 "steal_s": steal_s, "strays": strays[:4]}
             )
         else:
             clean += 1
@@ -302,6 +327,7 @@ def replay_subcommand(
         "sec_min": min(r[0] for r in runs),
         "cpu_sec_min": min(r[1] for r in runs),
         "runs": [r[0] for r in runs], "runs_cpu": [r[1] for r in runs],
+        "runs_steal": [r[2] for r in runs],
         "polluted": polluted_log,
         "events": n_events,
         "loadavg": open("/proc/loadavg").read().split()[0],
@@ -468,6 +494,9 @@ def main() -> None:
             md.row_group(i).column(0).statistics.max  # col 0 = lsn
             for i in range(md.num_row_groups)
         )
+    # latency is a wall-clock-sensitive in-process measurement with no
+    # subprocess retry machinery — gate it on a quiet window too
+    _wait_quiet(120)
     live_dir = os.path.join(work, "live_feed")
     os.makedirs(live_dir)
     live_root = os.path.join(work, "live_lake")
@@ -594,8 +623,10 @@ def main() -> None:
         # then bias, mildly, AGAINST the hi side's shorter wall — the
         # conservative direction).
         sides: dict[int, dict] = {
-            SCALE_LO: {"runs": [], "runs_cpu": [], "polluted": [], "loadavg": []},
-            SCALE_HI: {"runs": [], "runs_cpu": [], "polluted": [], "loadavg": []},
+            SCALE_LO: {"runs": [], "runs_cpu": [], "runs_steal": [],
+                       "polluted": [], "loadavg": []},
+            SCALE_HI: {"runs": [], "runs_cpu": [], "runs_steal": [],
+                       "polluted": [], "loadavg": []},
         }
         scale_events = 0
         for i in range(SCALE_REPS):
@@ -605,6 +636,7 @@ def main() -> None:
                                 quiet_wait_s=240, warm_rows=2_000_000)
                 sides[n]["runs"] += r["runs"]
                 sides[n]["runs_cpu"] += r["runs_cpu"]
+                sides[n]["runs_steal"] += r.get("runs_steal") or []
                 sides[n]["polluted"] += r.get("polluted") or []
                 sides[n]["loadavg"].append(r["loadavg"])
                 scale_events = r["events"]
@@ -618,6 +650,7 @@ def main() -> None:
             queries[f"replay_local{tag}"] = min(sides[tag]["runs"])
             out["replay_runs"][f"local{tag}"] = sides[tag]["runs"]
             out["replay_runs"][f"local{tag}_cpu"] = sides[tag]["runs_cpu"]
+            out["replay_runs"][f"local{tag}_steal"] = sides[tag]["runs_steal"]
             out["replay_runs"][f"loadavg{tag}"] = ",".join(sides[tag]["loadavg"])
             if sides[tag]["polluted"]:
                 out["replay_runs"][f"local{tag}_polluted"] = sides[tag]["polluted"]

@@ -142,13 +142,13 @@ def replay_batch(
     # parquet scans it saves (measured: +26s on a 500k-event batch at 32
     # threads), and the scans are pushed-down column-pruned reads.
 
-    # Control plane in ONE job: Relation rows (P4, tiny), the high-LSN
-    # watermark, the per-table truncate barriers AND the tx-integrity
-    # census (P1/P2/T5) all ride a single narrow scan — a per-tx partial
-    # aggregation re-aggregated to one row. Each extra Spark job costs
-    # seconds of fixed scheduling/barrier latency that dominates small
-    # epochs and caps scaling efficiency on big ones; the scan is
-    # column-pruned (never touches the payload maps).
+    # Control plane in ONE driver action: Relation rows (P4, tiny), the
+    # high-LSN watermark, the per-table truncate barriers AND the
+    # tx-integrity census (P1/P2/T5) collect as a single 1-row result.
+    # Each extra driver round-trip costs seconds of fixed scheduling/
+    # barrier latency that dominates small epochs and caps scaling
+    # efficiency on big ones; both scans below are column-pruned (never
+    # touch the payload maps).
     # The per-tx aggregate carries ONLY primitive aggs. Collecting the
     # (rare) Truncate/Relation structs inside this groupBy allocated two
     # list buffers PER GROUP — an OLTP-shaped trace has ~2 rows/tx, so a
