@@ -71,6 +71,7 @@ from __future__ import annotations
 
 import pickle
 import time
+import uuid
 from collections.abc import Iterator
 
 import pandas as pd
@@ -331,6 +332,14 @@ def drain_merge(
             key=os.path.getmtime,
         )
 
+    # sweep half-written generations from crashed attempts (tmp- dirs
+    # never graduated to gen- via the atomic rename below)
+    for base in (pending_dir, markers_dir):
+        if os.path.isdir(base):
+            for e in os.listdir(base):
+                if e.startswith("tmp-"):
+                    shutil.rmtree(os.path.join(base, e), ignore_errors=True)
+
     old_gens = _gens(pending_dir)
     if not dirs and not old_gens:
         return None
@@ -391,25 +400,33 @@ def drain_merge(
     table = load_target(spark, table_root)
     stats = replay_batch(complete, table, cfg, batch_key=key)
 
-    # marker generation: applied commits of THIS merge (overwrite —
-    # re-running the same merge after a crash rewrites identical content)
-    (
-        complete.filter(F.col("op") == "C")
-        .select(
+    # marker + pending generations: written under a unique PER-ATTEMPT
+    # name via tmp-dir + atomic rename. Re-running the same merge after
+    # a crash-before-cleanup feeds the previous attempt's pending gen
+    # back in as an INPUT — an overwrite to the same gen-{key} path
+    # would delete its own lazy input mid-read (observed:
+    # FAILED_READ_FILE on the rerun). Unique names never collide with
+    # inputs; the rename keeps half-written dirs invisible to _gens
+    # (tmp- prefix), so a crash mid-write can never leave a torn
+    # parquet dir a later merge would try to read. Duplicate rows
+    # across surviving generations re-apply as LWW/marker-max no-ops.
+    attempt = uuid.uuid4().hex[:8]
+
+    def _write_gen(df: DataFrame, base: str) -> None:
+        tmp = os.path.join(base, f"tmp-{key}-{attempt}")
+        df.write.mode("overwrite").option("compression", "snappy").parquet(tmp)
+        os.rename(tmp, os.path.join(base, f"gen-{key}-{attempt}"))
+
+    _write_gen(
+        complete.filter(F.col("op") == "C").select(
             "tx_id",
             F.col("lsn").alias("commit_lsn"),
             F.col("commit_ts").alias("commit_ts"),
-        )
-        .write.mode("overwrite")
-        .option("compression", "snappy")
-        .parquet(os.path.join(markers_dir, f"gen-{key}"))
+        ),
+        markers_dir,
     )
     if pending_new is not None:
-        (
-            pending_new.write.mode("overwrite")
-            .option("compression", "snappy")
-            .parquet(os.path.join(pending_dir, f"gen-{key}"))
-        )
+        _write_gen(pending_new, pending_dir)
     # inputs now fully represented in (lake, markers, new pending gen)
     for d in dirs:
         shutil.rmtree(d, ignore_errors=True)
