@@ -191,10 +191,15 @@ def test_hot_update_storm_replay(spark, tmp_path):
         apply_op.compact_agg(rel, reg.relations[1], num_buckets=8, pre_salt=8)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    first_exchange = plan.index("Exchange")
-    assert "Aggregate" in plan[first_exchange:], plan
-    # ... and at least one aggregate runs BELOW the first exchange
-    # (plan strings print top-down: map-side partial agg appears after
-    # the exchange line it feeds)
-    below = plan[first_exchange:]
-    assert "Aggregate" in below
+    # the map-side PARTIAL aggregate must sit below the salt exchange —
+    # i.e. after the LAST Exchange in the top-down plan string (the
+    # deepest exchange is the salted phase-1 shuffle; an aggregate
+    # printed after it executes before any shuffle, on the scan side).
+    # Checking below the FIRST exchange would be vacuous: any aggregate
+    # anywhere in the plan, including phase-2's final agg, satisfies it.
+    below_last_exchange = plan[plan.rindex("Exchange"):]
+    assert "Aggregate" in below_last_exchange, plan
+    # ... and it runs in partial mode (Spark prints partial-mode agg
+    # functions as partial_<fn>), proving map-side combine collapses a
+    # hot key's storm before any row crosses the wire
+    assert "partial_" in below_last_exchange, plan

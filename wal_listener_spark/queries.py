@@ -340,6 +340,48 @@ def q_cdc_subject_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routed.groupBy("subject").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_cdc_event_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka event-feed path (K2) end to end, driver-hard: trace ->
+    assembly -> event projection -> injected at-least-once redelivery
+    (every 7th LSN duplicated — the crash-between-publish-and-ack shape,
+    README.md:57) -> the REAL streaming consumer dedup
+    (``dedup_event_stream``: dropDuplicatesWithinWatermark on the
+    deterministic event id) -> ``kafka_payload`` (key, value, topic) rows
+    exactly as the producer would publish them (kafka.go:110-153,
+    messageKeyFrom='repo' with table-name fallback, event.go:24-36
+    routing). The oracle reconstructs the byte-exact payload JSON in
+    closed form and hashes it — a drift in id derivation, JSON field
+    order, key fallback, routing, or dedup shows up as a hash or row
+    mismatch."""
+    from .operators.sink import dedup_event_stream, kafka_payload
+
+    trace = generator.build_trace(spark, sf_dir, amplify=AMPLIFY)
+    committed, _ = assemble_transactions(trace)
+    ev = events_op.to_events(committed, spec.SCHEMA_NAME, spec.TABLE_NAME)
+    redelivered = ev.unionByName(ev.filter(F.col("lsn") % 7 == 0))
+    feed_dir = tempfile.mkdtemp(prefix="wal_feed_")
+    redelivered.write.mode("overwrite").parquet(feed_dir)
+    stream = spark.readStream.schema(redelivered.schema).parquet(feed_dir)
+    payload = kafka_payload(
+        dedup_event_stream(stream, watermark_delay="30 minutes"),
+        message_key_from="repo",
+    )
+    sink = f"event_feed_{os.getpid()}"
+    q = (
+        payload.writeStream.format("memory")
+        .queryName(sink)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="wal_feed_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "key", "topic", F.md5("value").alias("payload_md5")
+    )
+
+
 def q_cdc_quarantine_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drop commits for tx_id % 13 == 0 -> those txs quarantine
     (ErrMessageLost analog, parser.go:20-23)."""
@@ -619,6 +661,56 @@ SELECT 'STREAM.prefix_' ||
             ELSE 'public_repos_'||shard END AS subject,
        sum(n_events)::BIGINT AS n
 FROM shards GROUP BY 1""",
+        # byte-exact closed form of the Kafka producer rows: JSON field
+        # order = event-struct order, null fields omitted, map keys in
+        # generator insertion order, commitTime ISO-8601 .000Z; key =
+        # data['repo'] with table-name fallback for DELETE (no data)
+        "cdc_event_feed": f"""
+WITH {_keys_cte()},
+vers AS (
+  SELECT a.*, r.range AS v
+  FROM attrs a, range({spec.NVER_MOD}) r WHERE r.range < n_ver
+),
+iu AS (
+  SELECT repo AS key_, ((k+1)*{spec.SLOT} + 1 + v)::BIGINT AS lsn, v AS seq,
+         CASE WHEN v = 0 THEN 'INSERT' ELSE 'UPDATE' END AS action,
+         '"data":{{"repo":"'||repo||'","path":"'||path
+           ||'","commit":"'||substr(sha256(k||':'||v), 1, 40)
+           ||'","lang":"'||lang||'"'
+           ||CASE WHEN v > 0 AND (k+v)%{spec.TOAST_MOD} = 0 THEN ''
+                  ELSE ',"content":"'||text||'#v'||v||'"' END
+           ||CASE WHEN k >= k_evo THEN ',"stars":"'||(k%{spec.STARS_MOD})||'"'
+                  ELSE '' END
+           ||'}}'
+           ||CASE WHEN v = 0 THEN ''
+                  ELSE ',"data_old":{{"repo":"'||repo
+                       ||'","path":"'||path||'"}}' END AS body,
+         k
+  FROM vers
+),
+dels AS (
+  SELECT '{spec.TABLE_NAME}' AS key_, ((k+1)*{spec.SLOT} + 5)::BIGINT AS lsn,
+         n_ver AS seq, 'DELETE' AS action,
+         '"data_old":{{"repo":"'||repo||'","path":"'||path||'"}}' AS body, k
+  FROM attrs WHERE k%{d} = 0
+),
+ev AS (SELECT * FROM iu UNION ALL SELECT * FROM dels),
+built AS (
+  SELECT key_, lsn,
+    '{{"id":"'||substr(hh,1,8)||'-'||substr(hh,9,4)||'-'||substr(hh,13,4)
+      ||'-'||substr(hh,17,4)||'-'||substr(hh,21,12)
+      ||'","schema":"{spec.SCHEMA_NAME}","table":"{spec.TABLE_NAME}"'
+      ||',"action":"'||action||'",'||body
+      ||',"commitTime":"'
+      ||strftime(TIMESTAMP '{spec.EPOCH}' + k * INTERVAL 1 second,
+                 '%Y-%m-%dT%H:%M:%S.000Z')
+      ||'"}}' AS value
+  FROM (SELECT *, sha256(lsn||':'||seq) AS hh FROM ev)
+)
+SELECT key_ AS "key",
+       'wal_listener.{spec.SCHEMA_NAME}_{spec.TABLE_NAME}' AS topic,
+       md5(value) AS payload_md5
+FROM built""",
         "cdc_quarantine_integrity": f"""
 WITH {_keys_cte()},
 c AS (SELECT k, n_ver + CASE WHEN k%{d}=0 THEN 1 ELSE 0 END AS n FROM attrs)
@@ -734,6 +826,7 @@ CDC_QUERIES = {
     "cdc_tx_assembly": q_cdc_tx_assembly,
     "cdc_event_projection": q_cdc_event_projection,
     "cdc_subject_routing": q_cdc_subject_routing,
+    "cdc_event_feed": q_cdc_event_feed,
     "cdc_quarantine_integrity": q_cdc_quarantine_integrity,
     "cdc_decode_framed": q_cdc_decode_framed,
     "cdc_decode_census": q_cdc_decode_census,

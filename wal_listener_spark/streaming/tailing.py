@@ -322,14 +322,31 @@ def drain_merge(
 
     dirs = _staged_batch_dirs(staging_dir)
 
+    def _gen_seq(path: str) -> int | None:
+        """Monotonic sequence embedded in ``gen-<seq>-...`` names (None
+        for legacy mtime-era names)."""
+        part = os.path.basename(path).split("-")[1:2]
+        return int(part[0]) if part and part[0].isdigit() else None
+
     def _gens(d: str) -> list[str]:
-        """Generation dirs, oldest first (mtime order — names embed merge
-        keys, which do not sort chronologically)."""
+        """Generation dirs, oldest first. Ordered by the monotonic
+        sequence embedded in the name — mtime alone has 1-second
+        granularity on some filesystems, and two generations written in
+        the same second would tie and sort arbitrarily, letting marker-
+        retention pruning delete the newer of the two. Legacy seq-less
+        names (all strictly older than any seq-named one) fall back to
+        mtime and sort first."""
         if not os.path.isdir(d):
             return []
+        entries = [
+            os.path.join(d, e) for e in os.listdir(d) if e.startswith("gen-")
+        ]
         return sorted(
-            (os.path.join(d, e) for e in os.listdir(d) if e.startswith("gen-")),
-            key=os.path.getmtime,
+            entries,
+            key=lambda p: (
+                (1, _gen_seq(p), "") if _gen_seq(p) is not None
+                else (0, os.path.getmtime(p), p)
+            ),
         )
 
     # sweep half-written generations from crashed attempts (tmp- dirs
@@ -344,7 +361,19 @@ def drain_merge(
     if not dirs and not old_gens:
         return None
     ids = [d.rsplit("-", 1)[1] for d in dirs]
-    key = f"tailstage-{ids[0]}-{ids[-1]}" if ids else "tailstage-pending"
+    if ids:
+        key = f"tailstage-{ids[0]}-{ids[-1]}"
+    else:
+        # pending-only merge: derive the epoch key from the input
+        # generation names — a constant key would make merge_batch's
+        # committed-batch ring treat every later pending-only merge as a
+        # replayed epoch and silently no-op it
+        import hashlib
+
+        gen_sig = hashlib.md5(
+            "|".join(os.path.basename(g) for g in old_gens).encode()
+        ).hexdigest()[:10]
+        key = f"tailstage-pending-{gen_sig}"
     rows = spark.read.schema(TRACE_SCHEMA).parquet(*(list(dirs) + old_gens))
 
     # per-tx completeness census (control rows tx_id<0 are exempt)
@@ -411,11 +440,24 @@ def drain_merge(
     # parquet dir a later merge would try to read. Duplicate rows
     # across surviving generations re-apply as LWW/marker-max no-ops.
     attempt = uuid.uuid4().hex[:8]
+    # monotonic generation sequence: max over both stores' existing gens
+    # + 1 (same seq for this merge's marker and pending gens) — _gens
+    # orders by it, immune to coarse-mtime ties
+    next_seq = 1 + max(
+        (
+            _gen_seq(g) or 0
+            for base in (pending_dir, markers_dir)
+            for g in _gens(base)
+        ),
+        default=0,
+    )
 
     def _write_gen(df: DataFrame, base: str) -> None:
         tmp = os.path.join(base, f"tmp-{key}-{attempt}")
         df.write.mode("overwrite").option("compression", "snappy").parquet(tmp)
-        os.rename(tmp, os.path.join(base, f"gen-{key}-{attempt}"))
+        os.rename(
+            tmp, os.path.join(base, f"gen-{next_seq:010d}-{key}-{attempt}")
+        )
 
     _write_gen(
         complete.filter(F.col("op") == "C").select(
@@ -513,6 +555,7 @@ def run_live_tail(
     tx_buckets: int = DEFAULT_TX_BUCKETS,
     until_lsn: int | None = None,
     timeout_s: float = 180.0,
+    state_partitions: int | None = None,
 ) -> list[dict]:
     """LIVE tail: processingTime micro-triggers + marker TTL, merging
     every trigger (latency over throughput — the processingTime twin of
@@ -522,7 +565,16 @@ def run_live_tail(
     latency: each returned record carries the wall-clock time its
     snapshot commit finished plus the replay stats (``high_lsn`` inside
     per-table stats). The reference's analog loop is
-    listener.go:388-436 — publish then ack, here merge then snapshot."""
+    listener.go:388-436 — publish then ack, here merge then snapshot.
+
+    ``state_partitions``: width of the stateful shuffle, baked into the
+    checkpoint at first start (same mechanics and caveats as
+    ``run_tailing_stream``). Live triggers carry SMALL inputs, so the
+    per-trigger fixed cost — one state-store delta commit and one Python
+    assembler invocation per partition — dominates latency at session
+    width; unlike the bounded drain (where more partitions win on
+    throughput), a latency-sized tail wants this near its per-trigger
+    bucket-touch count."""
     import time as _time
 
     from ..lake.catalog import load_target
@@ -547,12 +599,22 @@ def run_live_tail(
         marker_ttl_ms=marker_ttl_ms,
         tx_buckets=tx_buckets,
     )
-    query = (
-        released.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(processingTime=processing_interval)
-        .start()
-    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions:
+        # read once at query start and baked into the checkpoint as the
+        # state partition count — restore right after .start() (see
+        # run_tailing_stream)
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        query = (
+            released.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=processing_interval)
+            .start()
+        )
+    finally:
+        if state_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     t0 = _time.time()
     try:
         while _time.time() - t0 < timeout_s:
