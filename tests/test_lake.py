@@ -309,3 +309,97 @@ def test_failed_merge_does_not_leak_cache(spark, tmp_path):
     )
     assert not s.get("noop")
     assert _n_cached() == base
+
+
+def _delta_changes(spark, rows):
+    """Merge-input shape incl. set markers, as both compaction paths
+    emit: rows = (repo, path, commit, lang, content, set_content,
+    setlsn_content, lsn, op). Unlisted value cols are set at the row
+    lsn (commit/lang always sent; content may TOAST-skip)."""
+    out = []
+    for repo, path, commit, lang, content, set_c, setlsn_c, lsn, op in rows:
+        out.append((
+            repo, path, commit, lang, content,
+            op != "D", None if op == "D" else lsn,
+            op != "D", None if op == "D" else lsn,
+            set_c, setlsn_c, lsn, op,
+        ))
+    return spark.createDataFrame(
+        out,
+        "repo string, path string, commit string, lang string,"
+        " content string, __set_commit boolean, __setlsn_commit long,"
+        " __set_lang boolean, __setlsn_lang long,"
+        " __set_content boolean, __setlsn_content long, lsn long, op string",
+    )
+
+
+def test_delta_append_resolve_fold_maintenance(spark, tmp_path):
+    """Merge-on-read lifecycle: delta commits resolve at read identically
+    to the folded state; replayed delta epochs no-op; compact() folds
+    pending deltas; expire_snapshots never drops a delta data dir a kept
+    manifest still references."""
+    from wal_listener_spark.lake.table import LakeTable
+
+    tb = _mk(spark, tmp_path)
+    root = tb.root
+    # epoch d0: two inserts
+    tb.append_delta(
+        _delta_changes(spark, [
+            ("r1", "p1", "c0", "en", "v0", True, 10, 10, "I"),
+            ("r2", "p2", "c0", "en", "w0", True, 20, 20, "I"),
+        ]),
+        "d0", 20,
+    )
+    # replayed epoch is a manifest-level no-op
+    tb = LakeTable.load(spark, root)
+    assert tb.append_delta(_delta_changes(spark, []), "d0", 20)["noop"]
+    # epoch d1: TOAST update on p1 (content unset), delete p2
+    tb = LakeTable.load(spark, root)
+    tb.append_delta(
+        _delta_changes(spark, [
+            ("r1", "p1", "c1", "en", None, False, None, 30, "U"),
+            ("r2", "p2", None, None, None, False, None, 40, "D"),
+        ]),
+        "d1", 40,
+    )
+    tb = LakeTable.load(spark, root)
+    assert tb.delta_count == 2
+    got = {r["path"]: r.asDict() for r in tb.read_public().collect()}
+    # TOAST carry-forward across delta generations; delete tombstoned
+    assert set(got) == {"p1"}
+    assert got["p1"]["commit"] == "c1" and got["p1"]["content"] == "v0"
+
+    # out-of-order older epoch arriving AFTER: explicit content set at
+    # lsn 25 must win over the TOAST-skip at 30 (column-level LWW)
+    tb.append_delta(
+        _delta_changes(spark, [
+            ("r1", "p1", "cX", "en", "v25", True, 25, 25, "U"),
+        ]),
+        "d2", 40,
+    )
+    tb = LakeTable.load(spark, root)
+    got = {r["path"]: r.asDict() for r in tb.read_public().collect()}
+    assert got["p1"]["commit"] == "c1"  # lsn 30 row wins the column
+    assert got["p1"]["content"] == "v25"  # 25 > TOAST (never set at 30)
+
+    # compact() folds pending deltas, state unchanged, deltas cleared
+    before = {r["path"]: r.asDict() for r in tb.read_public().collect()}
+    tb.compact()
+    tb = LakeTable.load(spark, root)
+    assert tb.delta_count == 0
+    after = {r["path"]: r.asDict() for r in tb.read_public().collect()}
+    assert before == after
+
+    # time-travel manifest still references its delta dirs: expire must
+    # keep any data dir a kept snapshot lists (delta or bucket)
+    tb.append_delta(
+        _delta_changes(spark, [
+            ("r1", "p1", "c9", "en", "v9", True, 99, 99, "U"),
+        ]),
+        "d3", 99,
+    )
+    tb = LakeTable.load(spark, root)
+    tb.expire_snapshots(keep_last=2)
+    tb = LakeTable.load(spark, root)
+    got = {r["path"]: r.asDict() for r in tb.read_public().collect()}
+    assert got["p1"]["content"] == "v9" and got["p1"]["commit"] == "c9"

@@ -10,6 +10,7 @@ DELETE, optional re-INSERT), one tx per op, globally monotone LSNs.
 
 import datetime
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -88,8 +89,9 @@ def _build_trace_rows(scripts: dict[int, list[str]]):
     n_epochs=st.integers(1, 4),
     order_seed=st.randoms(use_true_random=False),
 )
+@pytest.mark.parametrize("mode", ["merge", "delta", "mixed"])
 def test_random_trace_out_of_order_epochs_match_oracle(
-    spark, tmp_path_factory, scripts, n_epochs, order_seed
+    spark, tmp_path_factory, mode, scripts, n_epochs, order_seed
 ):
     rows = _build_trace_rows(scripts)
     if not rows:
@@ -122,10 +124,15 @@ def test_random_trace_out_of_order_epochs_match_oracle(
 
     root = str(tmp_path_factory.mktemp("prop") / "t")
     LakeTable.create(spark, root, ["repo", "path"], FIELDS, num_buckets=4)
-    cfg = PipelineConfig(num_buckets=4)
-    for i in order:
+    # mode: every epoch through the copy-on-write merge, every epoch as a
+    # merge-on-read delta commit (resolution at read), or alternating —
+    # the mixed case interleaves delta generations with full merges,
+    # which auto-fold pending deltas mid-history
+    for j, i in enumerate(order):
         if not epochs[i]:
             continue
+        delta = mode == "delta" or (mode == "mixed" and j % 2 == 0)
+        cfg = PipelineConfig(num_buckets=4, delta_commits=delta)
         trace = spark.createDataFrame([rel_row] + epochs[i], TRACE_SCHEMA)
         tb = LakeTable.load(spark, root)
         pipeline.replay_batch(trace, tb, cfg, f"e{i}")

@@ -197,7 +197,9 @@ def test_hot_update_storm_replay(spark, tmp_path):
     # printed after it executes before any shuffle, on the scan side).
     # Checking below the FIRST exchange would be vacuous: any aggregate
     # anywhere in the plan, including phase-2's final agg, satisfies it.
-    below_last_exchange = plan[plan.rindex("Exchange"):]
+    # (anchor on the deepest HASH exchange: the scan side also carries
+    # the generator's round-robin spread, which owns no aggregate)
+    below_last_exchange = plan[plan.rindex("Exchange hashpartitioning"):]
     assert "Aggregate" in below_last_exchange, plan
     # ... and it runs in partial mode (Spark prints partial-mode agg
     # functions as partial_<fn>), proving map-side combine collapses a

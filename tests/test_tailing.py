@@ -590,11 +590,14 @@ def test_live_tail_latency_soak(spark, tmp_path):
     feeder.start()
     records = run_live_tail(
         spark, live_dir, root, str(tmp_path / "ckpt"),
-        cfg=PipelineConfig(num_buckets=8),
+        # the advertised live-tail config: merge-on-read delta commits
+        # + latency-sized state width (final read resolves base ∪ deltas)
+        cfg=PipelineConfig(num_buckets=8, delta_commits=True),
         processing_interval="200 milliseconds",
         marker_ttl_ms=10_000,
         until_lsn=max_lsn,
         timeout_s=120.0,
+        state_partitions=4,
     )
     feeder.join(timeout=10)
     got = _final(spark, root)

@@ -38,6 +38,21 @@ class PipelineConfig:
     #: merge over all buckets, counters via observe — lower fixed
     #: latency per epoch (lake/table.py merge_batch docstring)
     selective_buckets: bool = True
+    #: merge-on-read commits (the LIVE-tail latency path): each epoch
+    #: appends its compacted change set as a lake DELTA generation (one
+    #: write + atomic manifest swap — no target read, no bucket rewrite)
+    #: and readers resolve base ∪ deltas; a fold absorbs deltas into the
+    #: bucketed base every ``delta_fold_every`` generations (and on any
+    #: truncate/maintenance/full merge). False = classic copy-on-write
+    #: merge per epoch (bounded replays, deep backlogs).
+    delta_commits: bool = False
+    delta_fold_every: int = 64
+    #: upstream guarantees every batch carries only COMPLETE transactions
+    #: (the stateful assembler's release contract) — the per-tx integrity
+    #: census collapses to one cheap aggregate, falling back to the full
+    #: census whenever Relation/Truncate rows are present. Set by the
+    #: tailing entrypoints, never by raw file replay.
+    assume_complete_txs: bool = False
     #: catalog mode: per-relation merges submitted concurrently (Spark's
     #: scheduler interleaves jobs; each relation commits its own table).
     #: 1 = strictly serial.

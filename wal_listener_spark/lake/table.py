@@ -173,15 +173,28 @@ class LakeTable:
                 out.extend(os.path.join(self.root, f) for f in files)
         return out
 
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
+    def read(
+        self, buckets: list[int] | None = None, with_deltas: bool = True
+    ) -> DataFrame:
         """Snapshot read (explicit file list = snapshot isolation);
         schema-on-read fills NULL for columns added after a file was
-        written (schema evolution)."""
+        written (schema evolution). With pending delta generations
+        (merge-on-read commits — :meth:`append_delta`), the base rows
+        and delta rows resolve through one aggregation that reproduces
+        the merge's column-level LWW, so readers always see the fully
+        applied state without waiting for a fold."""
         files = self._bucket_files(buckets)
         schema = self._read_schema()
         if not files:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*files)
+            base = self.spark.createDataFrame([], schema)
+        else:
+            base = self.spark.read.schema(schema).parquet(*files)
+        if not with_deltas or not self.manifest.get("deltas"):
+            return base
+        versions = self._base_as_versions(base).unionByName(
+            self._read_delta_rows(buckets)
+        )
+        return self._resolve_versions(versions, as_changes=False)
 
     def read_public(self) -> DataFrame:
         """Live rows only — delete tombstones filtered out. Tombstones
@@ -255,6 +268,10 @@ class LakeTable:
         committed = self.properties.get("committed_batches", {})
         if batch_key in committed:
             return {"batch_key": batch_key, "noop": True, "reason": "replayed_epoch"}
+        # pending merge-on-read deltas fold into the base first: the
+        # merge's target read and selective bucket accounting assume the
+        # base files ARE the state
+        self.fold_deltas()
 
         cleanup: list[DataFrame] = []
         try:
@@ -282,6 +299,9 @@ class LakeTable:
         selective: bool,
         cleanup: list[DataFrame],
     ) -> dict:
+        from ..pipeline import _phase_timer
+
+        mark = _phase_timer()
         key_cols = self.key_cols
         value_cols = [f["name"] for f in self.manifest["schema"] if f["name"] not in key_cols]
         coalesce_cols = coalesce_cols or []
@@ -314,6 +334,7 @@ class LakeTable:
             n_changes = stats_row["n"]
             n_deletes = stats_row["nd"] or 0
             affected = list(stats_row["bks"])
+            mark("merge:stats_prepass")
         else:
             # wide batch (or truncate, which rewrites everything anyway):
             # no pre-pass — counters ride the write job
@@ -438,11 +459,13 @@ class LakeTable:
             result = result.repartition(max(len(affected), 1), F.col(BUCKET_COL))
         # prebucketed: join output is already bucket-partitioned — the
         # write's per-task dynamic partitioning needs no extra shuffle
+        mark("merge:plan")
         (
             result.write.partitionBy(BUCKET_COL)
             .mode("overwrite")
             .parquet(out_dir)
         )
+        mark("merge:write")
 
         # collect per-bucket files + row counts (lineage)
         new_buckets: dict[str, list[str]] = {}
@@ -501,7 +524,284 @@ class LakeTable:
             props["registry"] = registry_json
         self._commit_manifest()
         self._append_lineage(stats)
+        mark("merge:commit")
         return stats
+
+    # ---------------------------------------------- merge-on-read deltas
+    # The LIVE-tail commit path (Iceberg v2 / Flink CDC shape): a trigger
+    # appends its LWW-compacted change set as a DELTA generation — one
+    # parquet write plus the atomic manifest swap, no target read, no
+    # join, no bucket rewrite — and readers resolve base ∪ deltas on
+    # read. A periodic fold() absorbs the deltas into the bucketed base
+    # through the ordinary merge (selective: only delta-touched buckets
+    # rewrite). At 100 TB this is the only per-trigger cost model that
+    # holds: commit latency is O(trigger data), while the full
+    # copy-on-write merge is O(touched buckets) and belongs on the
+    # amortized fold cadence, not on every 250 ms trigger. Resolution is
+    # ONE aggregation whose column rules are the closed form of
+    # merge_batch's pairwise fold (proven equivalent for valid WAL
+    # histories by the delta-vs-merge property tests).
+
+    @property
+    def delta_count(self) -> int:
+        return len(self.manifest.get("deltas") or [])
+
+    def _delta_read_schema(self) -> SparkTypes.StructType:
+        """Stable delta schema from the CURRENT manifest: generations
+        written before a schema evolution read NULL for the added column
+        (same schema-on-read rule as base files)."""
+        key_cols = set(self.manifest["key_cols"])
+        parts = [f"`{f['name']}` {f['type']}" for f in self.manifest["schema"]]
+        for f in self.manifest["schema"]:
+            if f["name"] not in key_cols:
+                parts.append(f"`__set_{f['name']}` boolean")
+                parts.append(f"`__setlsn_{f['name']}` bigint")
+        parts.append("`lsn` bigint")
+        parts.append("`seq` int")
+        parts.append("`op` string")
+        parts.append(f"`{BUCKET_COL}` bigint")
+        return SparkTypes.StructType.fromDDL(", ".join(parts))
+
+    def _read_delta_rows(self, buckets: list[int] | None) -> DataFrame:
+        files = [
+            os.path.join(self.root, f)
+            for gen in self.manifest.get("deltas") or []
+            for f in gen["files"]
+        ]
+        if not files:
+            return self.spark.createDataFrame([], self._delta_read_schema())
+        df = self.spark.read.schema(self._delta_read_schema()).parquet(*files)
+        if buckets is not None:
+            df = df.filter(F.col(BUCKET_COL).isin([int(b) for b in buckets]))
+        return df
+
+    def _base_as_versions(self, base: DataFrame) -> DataFrame:
+        """Base snapshot rows in the delta-row shape, so resolution can
+        aggregate one uniform frame. clsn semantics map directly: a real
+        set-LSN (or the legacy NULL = row-LSN fallback) becomes the
+        column's setter; -1 (never set / tombstoned) contributes no
+        setter."""
+        key_cols = self.key_cols
+        t_deleted = F.coalesce(F.col(DELETED_COL), F.lit(False))
+        cols = [F.col(k) for k in key_cols]
+        for f in self.manifest["schema"]:
+            c = f["name"]
+            if c in set(key_cols):
+                continue
+            setlsn = F.coalesce(F.col(f"{CLSN_PREFIX}{c}"), F.col(LSN_COL))
+            is_set = (~t_deleted) & (setlsn >= 0)
+            cols.append(F.col(c))
+            cols.append(is_set.alias(f"__set_{c}"))
+            cols.append(
+                F.when(is_set, setlsn).cast("bigint").alias(f"__setlsn_{c}")
+            )
+        cols.append(F.col(LSN_COL).alias("lsn"))
+        cols.append(F.lit(0).alias("seq"))
+        cols.append(F.when(t_deleted, F.lit("D")).otherwise(F.lit("U")).alias("op"))
+        cols.append(
+            F.coalesce(
+                F.col(BUCKET_COL) if BUCKET_COL in base.columns else F.lit(None),
+                _bucket_expr(key_cols, self.num_buckets),
+            ).alias(BUCKET_COL)
+        )
+        return base.select(*cols)
+
+    def _resolve_versions(self, versions: DataFrame, as_changes: bool) -> DataFrame:
+        """ONE groupBy(key) collapsing a key's version rows (base row +
+        any delta rows) to its final state — the closed form of the
+        pairwise merge for valid WAL histories:
+
+        - row-level winner = max (lsn, seq); its op decides the
+          tombstone;
+        - d_max = newest DELETE lsn; a column's setter qualifies only
+          above it (a delete wipes everything at or before it, and valid
+          WAL re-sets every column via the INSERT that must follow);
+        - per column the qualifying setter with the highest set-LSN wins
+          (struct max — exact under re-aggregation, no ordering needed).
+
+        ``as_changes=False`` projects the stored-row shape (read path);
+        ``as_changes=True`` projects the merge-input shape (fold path).
+        """
+        key_cols = self.key_cols
+        value_cols = [
+            f["name"] for f in self.manifest["schema"]
+            if f["name"] not in set(key_cols)
+        ]
+        aggs = [
+            F.max(F.struct("lsn", "seq", "op")).alias("win"),
+            F.coalesce(
+                F.max(F.when(F.col("op") == "D", F.col("lsn"))), F.lit(-1)
+            ).alias("d_max"),
+            F.max(BUCKET_COL).alias(BUCKET_COL),
+        ]
+        for c in value_cols:
+            aggs.append(
+                F.max(
+                    F.when(
+                        F.coalesce(F.col(f"__set_{c}"), F.lit(False)),
+                        F.struct(
+                            F.coalesce(
+                                F.col(f"__setlsn_{c}"), F.col("lsn")
+                            ).alias("l"),
+                            F.struct(F.col(c).alias("x")).alias("v"),
+                        ),
+                    )
+                ).alias(f"__cand_{c}")
+            )
+        agged = versions.groupBy(*key_cols).agg(*aggs)
+
+        deleted = F.col("win.op") == "D"
+        out = [F.col(k) for k in key_cols]
+        for c in value_cols:
+            cand = F.col(f"__cand_{c}")
+            qual = cand.isNotNull() & (cand.getField("l") > F.col("d_max"))
+            val = F.when(~deleted & qual, cand.getField("v").getField("x"))
+            if as_changes:
+                out.append(val.alias(c))
+                out.append((~deleted & qual).alias(f"__set_{c}"))
+                out.append(
+                    F.when(~deleted & qual, cand.getField("l"))
+                    .cast("bigint")
+                    .alias(f"__setlsn_{c}")
+                )
+            else:
+                out.append(val.alias(c))
+        if as_changes:
+            out.append(F.col("win.lsn").alias("lsn"))
+            out.append(F.col("win.seq").alias("seq"))
+            out.append(F.col("win.op").alias("op"))
+            out.append(F.col(BUCKET_COL))
+            return agged.select(*out)
+        out.append(F.col("win.lsn").alias(LSN_COL))
+        out.append(deleted.alias(DELETED_COL))
+        for c in value_cols:
+            cand = F.col(f"__cand_{c}")
+            qual = cand.isNotNull() & (cand.getField("l") > F.col("d_max"))
+            out.append(
+                F.when(~deleted & qual, cand.getField("l"))
+                .otherwise(F.lit(-1))
+                .cast("bigint")
+                .alias(f"{CLSN_PREFIX}{c}")
+            )
+        return agged.select(*out)
+
+    def append_delta(
+        self,
+        changes: DataFrame,
+        batch_key: str,
+        high_lsn: int,
+        registry_json: list[dict] | None = None,
+    ) -> dict:
+        """Commit one micro-batch as a merge-on-read DELTA generation.
+
+        ``changes`` must be the compacted merge-input shape (one row per
+        key with ``__set_<col>``/``__setlsn_<col>`` markers — both
+        compaction paths emit it). Exactly-once mechanics are identical
+        to merge_batch: replayed epochs no-op on batch_key, overlapping
+        LSN ranges resolve row/column-level at read or fold time. The
+        write is the trigger's ONLY data job; the snapshot commit is the
+        same atomic manifest/VERSION swap (our LSN ack)."""
+        committed = self.properties.get("committed_batches", {})
+        if batch_key in committed:
+            return {"batch_key": batch_key, "noop": True, "reason": "replayed_epoch"}
+        missing = [
+            c
+            for f in self.manifest["schema"]
+            if f["name"] not in set(self.key_cols)
+            for c in (f"__set_{f['name']}", f"__setlsn_{f['name']}")
+            if c not in changes.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"append_delta requires set markers; missing {missing[:4]}"
+            )
+        if BUCKET_COL not in changes.columns:
+            changes = changes.withColumn(
+                BUCKET_COL, _bucket_expr(self.key_cols, self.num_buckets)
+            )
+        if "seq" not in changes.columns:
+            changes = changes.withColumn("seq", F.lit(0))
+        schema = self._delta_read_schema()
+        new_version = self.manifest["version"] + 1
+        rel_dir = f"data/v{new_version}"
+        out_dir = os.path.join(self.root, rel_dir)
+        (
+            changes.select([F.col(f.name).cast(f.dataType) for f in schema.fields])
+            # a trigger's delta is O(trigger data): narrow the write so a
+            # 250 ms trigger makes a few files, not one per core (fewer
+            # tasks now, fewer files for every resolution read later; a
+            # backfill-sized delta still spreads across 4 writers)
+            .coalesce(4)
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+        files = [
+            f"{rel_dir}/{fn}"
+            for fn in os.listdir(out_dir)
+            if fn.endswith(".parquet")
+        ]
+        deltas = list(self.manifest.get("deltas") or [])
+        deltas.append({"files": files, "high_lsn": high_lsn, "batch_key": batch_key})
+        stats = {
+            "batch_key": batch_key,
+            "noop": False,
+            "delta": True,
+            "high_lsn": high_lsn,
+            "pending_deltas": len(deltas),
+            "snapshot_version": new_version,
+        }
+        self.manifest["version"] = new_version
+        self.manifest["deltas"] = deltas
+        props = self.manifest["properties"]
+        props["last_applied_lsn"] = max(self.last_applied_lsn, high_lsn)
+        cb = dict(props.get("committed_batches", {}))
+        cb.pop(batch_key, None)
+        cb[batch_key] = high_lsn
+        if len(cb) > BATCH_KEY_RETENTION:
+            keep = list(cb)[-BATCH_KEY_RETENTION:]
+            cb = {k: cb[k] for k in keep}
+        props["committed_batches"] = cb
+        if registry_json is not None:
+            props["registry"] = registry_json
+        self._commit_manifest()
+        self._append_lineage(stats)
+        return stats
+
+    def fold_deltas(self) -> dict | None:
+        """Absorb pending delta generations into the bucketed base: the
+        deltas alone resolve to one change row per key (same closed form
+        as the read path), then the ordinary selective merge rewrites
+        ONLY the delta-touched buckets. Crash-safe: until the fold's
+        snapshot commit lands, the previous manifest still lists the
+        deltas and a re-run recomputes the identical fold (delta files
+        are immutable snapshot data; duplicated work, never duplicated
+        state)."""
+        gens = self.manifest.get("deltas") or []
+        if not gens:
+            return None
+        changes = self._resolve_versions(
+            self._read_delta_rows(None), as_changes=True
+        )
+        high = max(g["high_lsn"] for g in gens)
+        self.manifest["deltas"] = []  # committed atomically with the fold
+        cleanup: list[DataFrame] = []
+        try:
+            return self._merge_batch_impl(
+                changes,
+                f"fold-v{self.manifest['version']}",
+                high,
+                None,
+                [
+                    f["name"] for f in self.manifest["schema"]
+                    if f["name"] not in set(self.key_cols)
+                ],
+                None,
+                True,
+                cleanup,
+            )
+        finally:
+            for df in cleanup:
+                df.unpersist()
 
     # --------------------------------------------------------- maintenance
     def compact(self, tombstone_watermark_lsn: int | None = None) -> dict:
@@ -514,6 +814,7 @@ class LakeTable:
         Runs as its own snapshot commit; readers on the previous snapshot
         are unaffected (copy-on-write).
         """
+        self.fold_deltas()  # maintenance operates on the folded base
         wm = (
             tombstone_watermark_lsn
             if tombstone_watermark_lsn is not None
@@ -573,6 +874,9 @@ class LakeTable:
             for files in m.get("buckets", {}).values():
                 for fp in files:
                     referenced.add(fp.split("/")[1])  # data/vN/... -> vN
+            for gen in m.get("deltas") or []:
+                for fp in gen["files"]:
+                    referenced.add(fp.split("/")[1])
 
         removed_manifests = 0
         for entry in os.listdir(mdir):

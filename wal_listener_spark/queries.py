@@ -260,6 +260,47 @@ def q_cdc_replay_overlap_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _apply_pipeline(trace.unionByName(dup))
 
 
+def q_cdc_delta_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read delta commits (the live-tail latency path): the
+    trace replays as FOUR out-of-LSN-order epochs, each appended as a
+    lake delta generation (``LakeTable.append_delta`` — one write +
+    manifest swap, no bucket rewrite), one epoch replayed twice
+    (exactly-once no-op), a fold absorbing the first half mid-history,
+    and the final snapshot read resolving base ∪ remaining deltas
+    through the closed-form column-level LWW. Must equal the same
+    sequential-apply oracle as the copy-on-write replay (Iceberg v2
+    merge-on-read semantics over the reference's apply rules)."""
+    from .pipeline import replay_batch
+
+    trace = generator.build_trace(spark, sf_dir, amplify=AMPLIFY)
+    nk = generator.num_keys(spark, sf_dir, AMPLIFY)
+    cuts = [0, nk // 4, nk // 2, 3 * nk // 4, nk + 20]
+    epochs = [
+        trace.filter(
+            (F.col("lsn") >= (cuts[i] + 1) * spec.SLOT)
+            & (F.col("lsn") < (cuts[i + 1] + 1) * spec.SLOT)
+            | (F.col("op") == "R")
+        )
+        for i in range(4)
+    ]
+    root = tempfile.mkdtemp(prefix="wal_delta_")
+    table = LakeTable.create(spark, root, ["repo", "path"], FIELDS, num_buckets=16)
+    cfg = PipelineConfig(num_buckets=16, delta_commits=True)
+    for i in (2, 0, 2, 1):  # out of order + epoch 2 replayed (no-op)
+        replay_batch(epochs[i], LakeTable.load(spark, root), cfg, f"d{i}")
+    LakeTable.load(spark, root).fold_deltas()  # mid-history fold
+    replay_batch(epochs[3], LakeTable.load(spark, root), cfg, "d3")
+    return LakeTable.load(spark, root).read_public().select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        F.col("stars").cast("int").alias("stars"),
+        F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("content_sha"),
+    )
+
+
 def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relation v2 lands mid-stream (P4): every change event BEFORE the
     evolution LSN must type against the 5-column schema (stars NULL,
@@ -606,6 +647,7 @@ def _oracle_cdc() -> dict[str, str]:
         "cdc_tailing_drain": oracle_final_state(),
         "cdc_lww_compaction": oracle_final_state(),
         "cdc_replay_overlap_dedup": oracle_final_state(),
+        "cdc_delta_commits": oracle_final_state(),
         # truncate barrier just before key k_tr wipes exactly keys < k_tr
         "cdc_truncate": (
             "WITH " + _keys_cte() + "," + _final_cte()
@@ -822,6 +864,7 @@ CDC_QUERIES = {
     "cdc_truncate": q_cdc_truncate,
     "cdc_filter_allowlist": q_cdc_filter_allowlist,
     "cdc_replay_overlap_dedup": q_cdc_replay_overlap_dedup,
+    "cdc_delta_commits": q_cdc_delta_commits,
     "cdc_schema_evolution": q_cdc_schema_evolution,
     "cdc_tx_assembly": q_cdc_tx_assembly,
     "cdc_event_projection": q_cdc_event_projection,

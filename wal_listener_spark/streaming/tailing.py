@@ -81,6 +81,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
+from dataclasses import replace as _cfg_replace
+
 from ..config import PipelineConfig
 from ..pipeline import replay_batch
 from ..trace.generator import TRACE_SCHEMA
@@ -427,7 +429,12 @@ def drain_merge(
         )
 
     table = load_target(spark, table_root)
-    stats = replay_batch(complete, table, cfg, batch_key=key)
+    # the drain census above already diverted incomplete transactions —
+    # replay_batch may take the light-census path (falls back on R/T)
+    stats = replay_batch(
+        complete, table, _cfg_replace(cfg, assume_complete_txs=True),
+        batch_key=key,
+    )
 
     # marker + pending generations: written under a unique PER-ATTEMPT
     # name via tmp-dir + atomic rename. Re-running the same merge after
@@ -589,7 +596,13 @@ def run_live_tail(
         batch_df = batch_df.persist()
         try:
             table = load_target(batch_df.sparkSession, table_root)
-            s = replay_batch(batch_df, table, cfg, batch_key=f"live-{batch_id}")
+            # assembler releases only complete transactions -> the light
+            # census applies (halves per-trigger fixed cost)
+            s = replay_batch(
+                batch_df, table,
+                _cfg_replace(cfg, assume_complete_txs=True),
+                batch_key=f"live-{batch_id}",
+            )
         finally:
             batch_df.unpersist()
         records.append({"t_commit": _time.time(), "stats": s})
@@ -755,7 +768,11 @@ def run_tailing_stream(
         batch_df = batch_df.persist()
         try:
             table = load_target(batch_df.sparkSession, table_root)
-            s = replay_batch(batch_df, table, cfg, batch_key=f"tail-{batch_id}")
+            s = replay_batch(
+                batch_df, table,
+                _cfg_replace(cfg, assume_complete_txs=True),
+                batch_key=f"tail-{batch_id}",
+            )
         finally:
             batch_df.unpersist()
         stats.append(s)
