@@ -336,10 +336,14 @@ def replay_subcommand(
     # scaling pair warms with a larger slice — its reps are the round's
     # gate number and rep 1 was still visibly JIT-cold at 50k).
     # limit() may omit the Relation rows -> seed the registry first.
+    from wal_listener_spark.lake.catalog import load_target
     from wal_listener_spark.streaming.tailing import seed_registry
 
-    warm = _mk_target("warm")
+    _mk_target("warm")
     seed_registry(spark, trace_dir, os.path.join(work, "warm"))
+    # reload AFTER seeding: seed_registry commits through its own handle
+    # and the pre-seed manifest object would replay with an empty registry
+    warm = load_target(spark, os.path.join(work, "warm"))
     replay_batch(
         trace.limit(int(os.environ.get("BENCH_WARM_ROWS", "50000"))), warm,
         PipelineConfig(num_buckets=buckets, selective_buckets=False), "warm",
@@ -374,6 +378,10 @@ def replay_subcommand(
             PipelineConfig(
                 num_buckets=buckets, selective_buckets=False,
                 compact_pre_salt=pre_salt or None,
+                # catalog mode: relation merges are independent jobs on
+                # disjoint tables — interleave more of them so per-merge
+                # fixed cost (driver plan build + job barriers) overlaps
+                max_parallel_merges=8,
             ),
             "bench",
         )

@@ -327,3 +327,53 @@ def test_tailing_into_catalog_routes_multi_relation(spark, tmp_path):
     meta = {r["k"]: r["owner"] for r in cat.read_public("public_meta").collect()}
     assert repos == {f"r{i}": f"c{i}" for i in range(0, 12, 2)}
     assert meta == {f"m{i}": f"o{i}" for i in range(1, 12, 2)}
+
+
+def test_grouped_merge_matches_single_table_state(spark, tmp_path):
+    """The catalog's grouped one-plan merge (>=3 same-schema relations:
+    one compaction, one join, one partitioned write, N manifest commits)
+    must produce exactly the same rows as the single-table replay of the
+    same events — and a replayed epoch must no-op per table."""
+    from pyspark.sql import functions as F
+
+    from wal_listener_spark.lake.catalog import LakeCatalog
+    from wal_listener_spark.lake.table import LakeTable
+    from wal_listener_spark.trace import generator
+
+    SF = "/root/testdata/sf0.001"
+    nk = generator.num_keys(spark, SF, 1)
+    trace = generator.build_trace(spark, SF, amplify=1, k_evo=nk)
+    multi = generator.reshard_relations(trace, 4)
+
+    cat = LakeCatalog.create(spark, str(tmp_path / "cat"), num_buckets=4)
+    cfg = PipelineConfig(num_buckets=4)
+    stats = pipeline.replay_batch(multi, cat, cfg, "g0")
+    assert len(stats["tables"]) == 4
+    assert all(m.get("grouped") for m in stats["tables"].values()), stats
+
+    # replayed epoch: every table no-ops on its batch key
+    cat = LakeCatalog.load(spark, str(tmp_path / "cat"))
+    stats2 = pipeline.replay_batch(multi, cat, cfg, "g0")
+    assert all(m.get("noop") for m in stats2["tables"].values())
+
+    single_root = str(tmp_path / "single")
+    LakeTable.create(
+        spark, single_root, ["repo", "path"],
+        [("repo", "string"), ("path", "string"), ("commit", "string"),
+         ("lang", "string"), ("content", "string")],
+        num_buckets=4,
+    )
+    pipeline.replay_batch(
+        trace, LakeTable.load(spark, single_root), cfg, "s0"
+    )
+
+    cat = LakeCatalog.load(spark, str(tmp_path / "cat"))
+    got = {
+        (r["repo"], r["path"]): (r["commit"], r["content"])
+        for r in cat.read_public().drop("__table").collect()
+    }
+    want = {
+        (r["repo"], r["path"]): (r["commit"], r["content"])
+        for r in LakeTable.load(spark, single_root).read_public().collect()
+    }
+    assert got == want

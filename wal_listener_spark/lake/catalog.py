@@ -124,6 +124,177 @@ class LakeCatalog:
             raise ValueError(f"catalog {self.root} has no tables")
         return out
 
+    # ------------------------------------------------- grouped merge
+    def merge_group(
+        self,
+        group: list[tuple[int, object]],
+        changes: DataFrame,
+        high_lsn: int,
+        batch_key_prefix: str,
+        selective: bool = True,
+    ) -> dict[str, dict]:
+        """ONE merge plan for every same-schema relation in ``group``
+        (list of (rel_id, RelationSchema)).
+
+        Per-table merges pay a per-PLAN driver cost (eager Catalyst
+        analysis + an independent write job) that is independent of data
+        volume — measured 3-5 s PER TABLE at 16 relations, dwarfing the
+        actual payload work. Here the group's target snapshots union
+        into one frame stamped with ``rel_id``, join the compacted
+        change set (which carries ``rel_id`` from the shared
+        compaction) once, and ONE write lands partitioned by
+        (rel_id, bucket) under ``<root>/shared/``; each member table
+        then commits its slice by root-relative file paths — N manifest
+        swaps, one data job. Per-epoch driver cost becomes independent
+        of table count, which is what a 100-table CDC catalog needs.
+
+        Exactly-once is still per table: already-committed batch keys
+        drop out of the group before the plan is built (their stats
+        report the usual replayed-epoch no-op), so a crash between two
+        manifest commits re-runs only the uncommitted tables.
+        Table-level expire_snapshots never deletes shared dirs (they
+        live outside <table>/data); compact() migrates a table's rows
+        into its own root, after which expire_shared() can GC
+        generations no current manifest references."""
+        from pyspark.sql import functions as F
+
+        from .table import (
+            BUCKET_COL,
+            _bucket_expr,
+            _merge_out_cols,
+        )
+
+        stats_out: dict[str, dict] = {}
+        todo: list[tuple[int, object, LakeTable, str]] = []
+        for rel_id, schema in group:
+            tb = self.table_for(schema)
+            tb.ensure_columns(schema.spark_fields())
+            bkey = f"{batch_key_prefix}:{schema.qualified_name}"
+            if bkey in tb.properties.get("committed_batches", {}):
+                stats_out[schema.qualified_name] = {
+                    "batch_key": bkey, "noop": True,
+                    "reason": "replayed_epoch",
+                }
+                continue
+            tb.fold_deltas()  # grouped merge targets the folded base
+            todo.append((rel_id, schema, tb, bkey))
+        if not todo:
+            return stats_out
+
+        g_schema = todo[0][1]
+        key_cols = list(g_schema.key_columns)
+        value_cols = list(g_schema.value_columns)
+        chg = changes.filter(
+            F.col("rel_id").isin([r for r, _, _, _ in todo])
+        ).persist()
+        try:
+            # one stats action: per-relation counters + touched buckets
+            per_rel = {
+                r["rel_id"]: r
+                for r in chg.groupBy("rel_id").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        F.when(F.col("op") == "D", 1).otherwise(0)
+                    ).alias("nd"),
+                    F.collect_set(BUCKET_COL).alias("bks"),
+                ).collect()
+            }
+
+            t_parts = []
+            affected_by_rel: dict[int, list[int]] = {}
+            for rel_id, schema, tb, _ in todo:
+                row = per_rel.get(rel_id)
+                affected = (
+                    sorted(row["bks"]) if (selective and row is not None)
+                    else list(range(tb.num_buckets))
+                )
+                affected_by_rel[rel_id] = affected
+                t_parts.append(
+                    tb.read(affected, with_deltas=False)
+                    .withColumn(
+                        BUCKET_COL, _bucket_expr(key_cols, tb.num_buckets)
+                    )
+                    .withColumn("rel_id", F.lit(rel_id).cast("int"))
+                )
+            target = t_parts[0]
+            for p in t_parts[1:]:
+                target = target.unionByName(p)
+            target = target.repartition(
+                self.num_buckets, F.col(BUCKET_COL)
+            )
+
+            t = target.alias("t")
+            c = chg.alias("c")
+            cond = [
+                F.col("t.rel_id") == F.col("c.rel_id"),
+                F.col(f"t.{BUCKET_COL}") == F.col(f"c.{BUCKET_COL}"),
+            ] + [F.col(f"t.{k}") == F.col(f"c.{k}") for k in key_cols]
+            result = t.join(c, cond, "full_outer").select(
+                *_merge_out_cols(
+                    key_cols, value_cols, set(chg.columns), value_cols,
+                    extra_cols=("rel_id",),
+                )
+            )
+
+            gen = _uuid.uuid4().hex[:10]
+            shared_rel = f"shared/g{gen}"
+            out_dir = os.path.join(self.root, shared_rel)
+            (
+                result.write.partitionBy("rel_id", BUCKET_COL)
+                .mode("overwrite")
+                .parquet(out_dir)
+            )
+
+            for rel_id, schema, tb, bkey in todo:
+                rel_dir = os.path.join(out_dir, f"rel_id={rel_id}")
+                new_buckets: dict[str, list[str]] = {}
+                if os.path.isdir(rel_dir):
+                    for entry in os.listdir(rel_dir):
+                        if not entry.startswith(f"{BUCKET_COL}="):
+                            continue
+                        b = entry.split("=", 1)[1]
+                        new_buckets[b] = [
+                            os.path.relpath(
+                                os.path.join(rel_dir, entry, fn), tb.root
+                            )
+                            for fn in os.listdir(os.path.join(rel_dir, entry))
+                            if fn.endswith(".parquet")
+                        ]
+                row = per_rel.get(rel_id)
+                n = row["n"] if row is not None else 0
+                nd = (row["nd"] or 0) if row is not None else 0
+                stats_out[schema.qualified_name] = tb.commit_external_buckets(
+                    bkey, high_lsn, new_buckets, affected_by_rel[rel_id],
+                    upserts=n - nd, deletes=nd,
+                )
+        finally:
+            chg.unpersist()
+        return stats_out
+
+    def expire_shared(self) -> dict:
+        """GC shared grouped-merge generations no CURRENT table manifest
+        references (after compact() has migrated rows into per-table
+        roots). Conservative: any reference keeps the generation."""
+        shared_dir = os.path.join(self.root, "shared")
+        if not os.path.isdir(shared_dir):
+            return {"removed": 0}
+        referenced: set[str] = set()
+        for name in self.table_names():
+            for files in self.table(name).manifest["buckets"].values():
+                for fp in files:
+                    if "shared/" in fp.replace(os.sep, "/"):
+                        part = fp.replace(os.sep, "/").split("shared/")[1]
+                        referenced.add(part.split("/")[0])
+        removed = 0
+        for entry in os.listdir(shared_dir):
+            if entry not in referenced:
+                import shutil
+
+                shutil.rmtree(os.path.join(shared_dir, entry),
+                              ignore_errors=True)
+                removed += 1
+        return {"removed": removed}
+
     # -------------------------------------------------------------- commit
     def save_properties(self) -> None:
         tmp = os.path.join(self.root, f".tmp-{_uuid.uuid4().hex}.json")

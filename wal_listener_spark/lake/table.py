@@ -72,6 +72,101 @@ def _bucket_expr(key_cols: list[str], num_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets))
 
 
+def _merge_out_cols(
+    key_cols: list[str],
+    value_cols: list[str],
+    chg_cols: set[str],
+    coalesce_cols: list[str],
+    extra_cols: tuple[str, ...] = (),
+) -> list:
+    """Output expressions of the full-outer MERGE between a target
+    snapshot aliased ``t`` and a compacted change set aliased ``c`` —
+    THE single definition of the apply semantics, shared by the
+    per-table merge and the catalog's grouped many-table merge.
+    ``extra_cols`` pass through via coalesce(t, c) (e.g. the relation
+    id of a grouped merge)."""
+    c_lsn = F.col("c.lsn")
+    t_lsn = F.col(f"t.{LSN_COL}")
+    has_c = c_lsn.isNotNull()
+    has_t = t_lsn.isNotNull()
+    wins = has_c & (~has_t | (c_lsn > t_lsn))  # per-key monotonic guard (W1)
+    is_del = F.col("c.op") == "D"
+
+    out_cols = []
+    for k in key_cols:
+        out_cols.append(F.coalesce(F.col(f"t.{k}"), F.col(f"c.{k}")).alias(k))
+    t_deleted = F.coalesce(F.col(f"t.{DELETED_COL}"), F.lit(False))
+    for v in value_cols:
+        # Column-level last-write-wins. The row-level `wins` guard
+        # alone cannot converge under out-of-order epochs + TOAST: a
+        # newer row that TOAST-skipped a column would permanently
+        # discard an older epoch's explicit value arriving later. So
+        # each column carries its own set-LSN and the higher set-LSN
+        # wins, with tombstones never resurrected and a losing DELETE
+        # never clearing a newer row's columns.
+        src = F.col(f"c.{v}") if v in chg_cols else F.lit(None)
+        tgt = F.col(f"t.{v}")
+        t_vlsn = F.coalesce(F.col(f"t.{CLSN_PREFIX}{v}"), t_lsn)
+        if v in coalesce_cols and f"__set_{v}" in chg_cols:
+            # marker-gated TOAST: explicitly-set wins (even explicit
+            # NULL); unset keeps target
+            c_set = F.col(f"c.__set_{v}")
+        elif v in coalesce_cols:
+            # legacy NULL-means-unchanged fallback (no markers)
+            c_set = src.isNotNull()
+        else:
+            c_set = has_c
+        if f"__setlsn_{v}" in chg_cols:
+            c_vlsn = F.coalesce(F.col(f"c.__setlsn_{v}"), c_lsn)
+        else:
+            c_vlsn = c_lsn
+        out_cols.append(
+            F.when(wins & is_del, F.lit(None))
+            .when(
+                wins,
+                F.when(c_set, src).otherwise(F.when(~t_deleted, tgt)),
+            )
+            .otherwise(  # target row newer
+                F.when(t_deleted, tgt)  # tombstone: never resurrect
+                .when(has_c & c_set & ~is_del & (c_vlsn > t_vlsn), src)
+                .otherwise(tgt)
+            )
+            .alias(v)
+        )
+        # set-LSN bookkeeping: -1 = tracked row, column never set
+        # (so an older explicit set can still claim it); stored NULL
+        # only ever means a legacy pre-clsn file, where the row LSN
+        # is the conservative (in-order-semantics) fallback above
+        out_cols.append(
+            F.when(wins & is_del, F.lit(-1))
+            .when(
+                wins,
+                F.when(c_set, c_vlsn).otherwise(
+                    F.when(~t_deleted & has_t, t_vlsn).otherwise(F.lit(-1))
+                ),
+            )
+            .otherwise(
+                F.when(t_deleted, F.lit(-1))
+                .when(has_c & c_set & ~is_del & (c_vlsn > t_vlsn), c_vlsn)
+                .otherwise(t_vlsn)
+            )
+            .cast("bigint")
+            .alias(f"{CLSN_PREFIX}{v}")
+        )
+    out_cols.append(F.when(wins, c_lsn).otherwise(t_lsn).alias(LSN_COL))
+    out_cols.append(
+        F.when(wins, is_del).otherwise(t_deleted).alias(DELETED_COL)
+    )
+    out_cols.append(
+        F.coalesce(F.col(f"t.{BUCKET_COL}"), F.col(f"c.{BUCKET_COL}")).alias(
+            BUCKET_COL
+        )
+    )
+    for e in extra_cols:
+        out_cols.append(F.coalesce(F.col(f"t.{e}"), F.col(f"c.{e}")).alias(e))
+    return out_cols
+
+
 class LakeTable:
     def __init__(self, spark: SparkSession, root: str, manifest: dict):
         self.spark = spark
@@ -370,86 +465,9 @@ class LakeTable:
             cond = [F.col(f"t.{BUCKET_COL}") == F.col(f"c.{BUCKET_COL}")] + cond
         joined = t.join(c, cond, "full_outer")
 
-        c_lsn = F.col("c.lsn")
-        t_lsn = F.col(f"t.{LSN_COL}")
-        has_c = c_lsn.isNotNull()
-        has_t = t_lsn.isNotNull()
-        wins = has_c & (~has_t | (c_lsn > t_lsn))  # per-key monotonic guard (W1)
-        is_del = F.col("c.op") == "D"
-
-        out_cols = []
-        for k in key_cols:
-            out_cols.append(F.coalesce(F.col(f"t.{k}"), F.col(f"c.{k}")).alias(k))
-        chg_cols = set(chg.columns)
-        t_deleted = F.coalesce(F.col(f"t.{DELETED_COL}"), F.lit(False))
-        for v in value_cols:
-            # Column-level last-write-wins. The row-level `wins` guard
-            # alone cannot converge under out-of-order epochs + TOAST: a
-            # newer row that TOAST-skipped a column would permanently
-            # discard an older epoch's explicit value arriving later. So
-            # each column carries its own set-LSN and the higher set-LSN
-            # wins, with tombstones never resurrected and a losing DELETE
-            # never clearing a newer row's columns.
-            src = F.col(f"c.{v}") if v in chg_cols else F.lit(None)
-            tgt = F.col(f"t.{v}")
-            t_vlsn = F.coalesce(F.col(f"t.{CLSN_PREFIX}{v}"), t_lsn)
-            if v in coalesce_cols and f"__set_{v}" in chg_cols:
-                # marker-gated TOAST: explicitly-set wins (even explicit
-                # NULL); unset keeps target
-                c_set = F.col(f"c.__set_{v}")
-            elif v in coalesce_cols:
-                # legacy NULL-means-unchanged fallback (no markers)
-                c_set = src.isNotNull()
-            else:
-                c_set = has_c
-            if f"__setlsn_{v}" in chg_cols:
-                c_vlsn = F.coalesce(F.col(f"c.__setlsn_{v}"), c_lsn)
-            else:
-                c_vlsn = c_lsn
-            out_cols.append(
-                F.when(wins & is_del, F.lit(None))
-                .when(
-                    wins,
-                    F.when(c_set, src).otherwise(F.when(~t_deleted, tgt)),
-                )
-                .otherwise(  # target row newer
-                    F.when(t_deleted, tgt)  # tombstone: never resurrect
-                    .when(has_c & c_set & ~is_del & (c_vlsn > t_vlsn), src)
-                    .otherwise(tgt)
-                )
-                .alias(v)
-            )
-            # set-LSN bookkeeping: -1 = tracked row, column never set
-            # (so an older explicit set can still claim it); stored NULL
-            # only ever means a legacy pre-clsn file, where the row LSN
-            # is the conservative (in-order-semantics) fallback above
-            out_cols.append(
-                F.when(wins & is_del, F.lit(-1))
-                .when(
-                    wins,
-                    F.when(c_set, c_vlsn).otherwise(
-                        F.when(~t_deleted & has_t, t_vlsn).otherwise(F.lit(-1))
-                    ),
-                )
-                .otherwise(
-                    F.when(t_deleted, F.lit(-1))
-                    .when(has_c & c_set & ~is_del & (c_vlsn > t_vlsn), c_vlsn)
-                    .otherwise(t_vlsn)
-                )
-                .cast("bigint")
-                .alias(f"{CLSN_PREFIX}{v}")
-            )
-        out_cols.append(F.when(wins, c_lsn).otherwise(t_lsn).alias(LSN_COL))
-        out_cols.append(
-            F.when(wins, is_del).otherwise(t_deleted).alias(DELETED_COL)
+        result = joined.select(
+            *_merge_out_cols(key_cols, value_cols, set(chg.columns), coalesce_cols)
         )
-        out_cols.append(
-            F.coalesce(F.col(f"t.{BUCKET_COL}"), F.col(f"c.{BUCKET_COL}")).alias(
-                BUCKET_COL
-            )
-        )
-
-        result = joined.select(*out_cols)
 
         new_version = self.manifest["version"] + 1
         rel_dir = f"data/v{new_version}"
@@ -488,9 +506,24 @@ class LakeTable:
         buckets.update(new_buckets)
 
         if observation is not None:
-            m = observation.get  # filled by the write job above
-            n_changes = m["n"]
-            n_deletes = m["nd"] or 0
+            try:
+                m = observation.get  # filled by the write job above
+                n_changes = m["n"]
+                n_deletes = m["nd"] or 0
+            except Exception:
+                # AQE's runtime empty-relation propagation can eliminate
+                # the CollectMetrics node when the change set turns out
+                # empty at runtime (e.g. a truncate-only epoch) — the
+                # observation then holds no row. Recount directly: one
+                # extra job on what is almost always an empty frame.
+                row = chg.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        F.when(F.col("op") == "D", 1).otherwise(0)
+                    ).alias("nd"),
+                ).collect()[0]
+                n_changes = row["n"]
+                n_deletes = row["nd"] or 0
         stats = {
             "batch_key": batch_key,
             "noop": False,
@@ -802,6 +835,52 @@ class LakeTable:
         finally:
             for df in cleanup:
                 df.unpersist()
+
+    def commit_external_buckets(
+        self,
+        batch_key: str,
+        high_lsn: int,
+        new_buckets: dict[str, list[str]],
+        affected: list[int],
+        upserts: int,
+        deletes: int,
+    ) -> dict:
+        """Commit a snapshot whose bucket files were written by an
+        external job (the catalog's grouped many-table merge writes ONE
+        partitioned dataset and each member table commits its slice via
+        root-relative paths). Manifest bookkeeping is identical to
+        merge_batch's tail: affected buckets swap to the new files,
+        batch_key joins the no-op ring, the LSN watermark advances."""
+        buckets = dict(self.manifest["buckets"])
+        for b in affected:
+            buckets.pop(str(b), None)
+        buckets.update(new_buckets)
+        new_version = self.manifest["version"] + 1
+        stats = {
+            "batch_key": batch_key,
+            "noop": False,
+            "high_lsn": high_lsn,
+            "upserts": upserts,
+            "deletes": deletes,
+            "truncate_lsn": None,
+            "buckets_rewritten": sorted(int(b) for b in new_buckets),
+            "snapshot_version": new_version,
+            "grouped": True,
+        }
+        self.manifest["version"] = new_version
+        self.manifest["buckets"] = buckets
+        props = self.manifest["properties"]
+        props["last_applied_lsn"] = max(self.last_applied_lsn, high_lsn)
+        cb = dict(props.get("committed_batches", {}))
+        cb.pop(batch_key, None)
+        cb[batch_key] = high_lsn
+        if len(cb) > BATCH_KEY_RETENTION:
+            keep = list(cb)[-BATCH_KEY_RETENTION:]
+            cb = {k: cb[k] for k in keep}
+        props["committed_batches"] = cb
+        self._commit_manifest()
+        self._append_lineage(stats)
+        return stats
 
     # --------------------------------------------------------- maintenance
     def compact(self, tombstone_watermark_lsn: int | None = None) -> dict:

@@ -89,6 +89,7 @@ def compact_agg(
     schema,
     num_buckets: int | None = None,
     pre_salt: int | None = None,
+    extra_group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Aggregation-based LWW compaction — the scale path.
 
@@ -115,6 +116,12 @@ def compact_agg(
     ``__bucket``, and hash-partitioning on the bucket satisfies their
     clustered distribution). One payload shuffle for the entire apply:
     the storage-partitioned-join layout Iceberg bucketed tables use.
+
+    ``extra_group_cols``: additional grouping columns carried from the
+    input and emitted first in the output — the multi-relation fan-in
+    path compacts EVERY same-schema relation in one pass by grouping on
+    ``(rel_id, bucket, keys)``, so a 100-table catalog pays one payload
+    shuffle total instead of one full input scan + shuffle per table.
     """
     from ..functions import casts
     from ..lake.table import BUCKET_COL, _bucket_expr
@@ -163,14 +170,16 @@ def compact_agg(
         ).alias(k)
         for k in key_cols
     ]
+    extra = list(extra_group_cols or [])
     base = data.select(
+        *[F.col(c) for c in extra],
         *keys, F.col("lsn"), F.col("seq"), F.col("op"),
         F.col("new_vals"), F.col("toast_cols"),
     )
-    group_cols = list(key_cols)
+    group_cols = extra + list(key_cols)
     if num_buckets is not None:
         base = base.withColumn(BUCKET_COL, _bucket_expr(key_cols, num_buckets))
-        group_cols = [BUCKET_COL, *key_cols]
+        group_cols = extra + [BUCKET_COL, *key_cols]
 
     if pre_salt:
         # Hot-(repo,path) update-storm guard. The default single-exchange
@@ -200,7 +209,7 @@ def compact_agg(
             base = base.repartition(num_buckets, F.col(BUCKET_COL))
         agged = base.groupBy(*group_cols).agg(*aggs)
 
-    out_cols = []
+    out_cols = [F.col(c) for c in extra]
     if num_buckets is not None:
         out_cols.append(F.col(BUCKET_COL))
     for k in key_cols:

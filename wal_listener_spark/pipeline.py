@@ -273,6 +273,57 @@ def replay_batch(
             "LakeCatalog (lake/catalog.py) instead"
         )
 
+    import os as _os
+
+    items = sorted(registry.relations.items())
+
+    # Multi-relation fan-in: merging per relation pays one full payload
+    # scan + one compaction shuffle + one independently-planned merge
+    # job PER TABLE — at 16 relations the per-plan driver cost alone
+    # (3-5 s of eager Catalyst analysis each) dwarfs the payload work.
+    # Every group of relations sharing a schema signature (and carrying
+    # no truncate this epoch) instead goes through ONE grouped plan:
+    # one compaction pass grouped by (rel_id, bucket, keys), one merge
+    # join against the union of target snapshots, ONE write partitioned
+    # by (rel_id, bucket) — then N cheap manifest commits
+    # (LakeCatalog.merge_group). Per-epoch driver cost becomes
+    # independent of the table count.
+    grouped_ids: set[int] = set()
+    if (
+        is_catalog
+        and len(items) > 2
+        and not cfg.delta_commits
+        and _os.environ.get("WAL_COMPACT") != "window"
+    ):
+        by_sig: dict = {}
+        for rel_id, schema in items:
+            if trunc_by_rel.get(rel_id) is not None:
+                continue  # truncate epochs take the per-table path
+            sig = (
+                tuple(schema.key_columns),
+                tuple((c, schema.oid_of(c)) for c in schema.value_columns),
+            )
+            by_sig.setdefault(sig, []).append((rel_id, schema))
+        for group in by_sig.values():
+            if len(group) < 3:
+                continue
+            g_ids = [r for r, _ in group]
+            compacted_all = apply_op.compact_agg(
+                filtered.filter(F.col("rel_id").isin(g_ids)),
+                group[0][1],
+                num_buckets=table.num_buckets,
+                pre_salt=cfg.compact_pre_salt,
+                extra_group_cols=["rel_id"],
+            )
+            stats["tables"].update(
+                table.merge_group(
+                    group, compacted_all, high_lsn, batch_key,
+                    selective=cfg.selective_buckets,
+                )
+            )
+            grouped_ids.update(g_ids)
+        items = [kv for kv in items if kv[0] not in grouped_ids]
+
     # one merge per relation, each into its own table (T7 routing)
     def _merge_relation(rel_id: int, schema) -> tuple[str, dict]:
         rel_table = table.table_for(schema) if is_catalog else table
@@ -282,8 +333,6 @@ def replay_batch(
         # shuffle feeds compaction, payload fetch, merge join and the
         # partitioned write (see apply.compact_agg). WAL_COMPACT=window
         # switches to the window-sort path (A/B knob).
-        import os as _os
-
         t_lsn = trunc_by_rel.get(rel_id)
         use_delta = cfg.delta_commits and t_lsn is None
         if _os.environ.get("WAL_COMPACT") == "window":
@@ -341,7 +390,6 @@ def replay_batch(
         )
         return schema.qualified_name, mstats
 
-    items = sorted(registry.relations.items())
     if is_catalog and len(items) > 1 and cfg.max_parallel_merges > 1:
         # relations commit to disjoint tables, so their merges are
         # independent Spark jobs — submit concurrently (driver threads;
