@@ -26,7 +26,12 @@ def spark():
     s = get_spark(
         "local[8]",
         shuffle_partitions=8,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # shuffle spill on tmpfs — /tmp is the sandbox's shared
+            # physical disk (same rationale as bench.py)
+            "spark.local.dir": "/dev/shm/walspark_test_spark",
+        },
     )
     yield s
     s.stop()

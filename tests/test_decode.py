@@ -187,7 +187,7 @@ def test_framed_roundtrip_matches_oracle(spark, tmp_path):
     from wal_listener_spark.config import PipelineConfig
     from wal_listener_spark.lake.table import LakeTable
 
-    trace = generator.build_trace(spark, SF_DIR, amplify=1, k_tr=100)
+    trace = generator.build_trace(spark, SF_DIR, amplify=1, k_tr=100).persist()
     rows = [r.asDict(recursive=True) for r in trace.collect()]
     expected = oracle.apply_trace(rows)
 

@@ -1,15 +1,24 @@
-"""Driver-gate emulation: run every queries() entry at sf0.01 and compare
-against its oracle_sql() in DuckDB — row count, column names, and
-order-insensitive value multiset (the CORRECTNESS_r{N}.json contract)."""
+"""Driver-gate emulation: run every queries() entry and compare against
+its oracle_sql() in DuckDB — row count, column names, and
+order-insensitive value multiset (the CORRECTNESS_r{N}.json contract).
+
+Default SF is 0.001 to keep the CI suite fast (the driver runs the SAME
+harness at sf0.01 itself every round — this test exists to catch gate
+breakage before the driver does, and every query/oracle pair is
+scale-free). Run the driver-exact scale with
+``WAL_ORACLE_SF=/root/testdata/sf0.01 pytest tests/test_entry_oracles.py``.
+A sentinel test asserts every query returns non-trivial rows at the CI
+scale so empty-vs-empty can never pass silently."""
 
 import math
+import os
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("WAL_ORACLE_SF", "/root/testdata/sf0.001")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -59,9 +68,12 @@ def test_query_matches_oracle(spark, ddb, name):
     spark_cols = df.columns
     spark_rows = [tuple(r) for r in df.collect()]
 
+    # non-trivial at CI scale: every registered query yields rows at
+    # sf0.001 (verified per-query), so empty-vs-empty can never pass
+    assert len(spark_rows) > 0, f"{name}: empty result at {SF_DIR}"
+
     if name not in oracles:
         # rows-only contract for non-SQL-expressible ops
-        assert len(spark_rows) >= 0
         return
 
     res = ddb.execute(oracles[name])

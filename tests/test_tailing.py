@@ -118,15 +118,19 @@ def test_live_tail_marker_ttl_purges_state(spark, tmp_path):
 
     trace_dir = str(tmp_path / "trace")
     generator.write_trace(
-        generator.build_trace(spark, SF_DIR, amplify=1), trace_dir, num_files=4
+        generator.build_trace(spark, SF_DIR, amplify=1), trace_dir, num_files=3
     )
     root = str(tmp_path / "lake")
     LakeTable.create(spark, root, ["repo", "path"], FIELDS, num_buckets=4)
     seed_registry(spark, trace_dir, root)
 
     def _apply(df, bid):
+        # delta commits: the live-tail sink shape (append + manifest
+        # swap per trigger) — keeps trigger cadence fast so the TTL
+        # purge is observed quickly
         replay_batch(
-            df, LakeTable.load(spark, root), PipelineConfig(num_buckets=4),
+            df, LakeTable.load(spark, root),
+            PipelineConfig(num_buckets=4, delta_commits=True),
             f"live-{bid}",
         )
 
@@ -136,23 +140,29 @@ def test_live_tail_marker_ttl_purges_state(spark, tmp_path):
         .parquet(trace_dir)
     )
     q = (
-        assemble_stream(stream, marker_ttl_ms=2000)
+        assemble_stream(stream, marker_ttl_ms=1500)
         .writeStream.foreachBatch(_apply)
         .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(processingTime="2 seconds")
+        .trigger(processingTime="1 second")
         .start()
     )
     peak = last = 0
+    seen: set[int] = set()
     t0 = time.time()
     try:
         while time.time() - t0 < 60:
-            time.sleep(3)
-            p = q.lastProgress
-            if p and p.get("stateOperators"):
+            time.sleep(0.5)
+            # recentProgress, not lastProgress: a fast trigger cadence
+            # can retire several batches between polls, and the purge
+            # peak/drop must not be missed between samples
+            for p in q.recentProgress:
+                if p["batchId"] in seen or not p.get("stateOperators"):
+                    continue
+                seen.add(p["batchId"])
                 n = p["stateOperators"][0]["numRowsTotal"]
                 peak, last = max(peak, n), n
-            if peak > 0 and last < peak // 4:
-                break  # purge observed — stop early
+            if peak > 0 and last < peak:
+                break  # purge observed (state rows dropped) — stop early
     finally:
         q.stop()
     assert LakeTable.load(spark, root).read_public().count() > 0
@@ -184,7 +194,7 @@ def test_giant_open_tx_buffers_in_chunks(spark, tmp_path):
          None, None, None, None, None),
         (10, 500, -1, "B", None, None, None, None, None, None, None, ts, None),
     ]
-    n_rows = 3000
+    n_rows = 1500
     for j in range(n_rows):
         rows.append((11 + j, 500, j, "I", 1, None, None, None, None,
                      {"repo": "big", "path": f"f{j}", "commit": "c",
@@ -195,7 +205,7 @@ def test_giant_open_tx_buffers_in_chunks(spark, tmp_path):
     trace = spark.createDataFrame(rows, TRACE_SCHEMA)
     trace_dir = str(tmp_path / "trace")
     # many files, LSN-ordered split: the tx spans every file
-    generator.write_trace(trace, trace_dir, num_files=10)
+    generator.write_trace(trace, trace_dir, num_files=6)
     root = str(tmp_path / "lake")
     _mk(spark, root)
     seed_registry(spark, trace_dir, root)
@@ -206,9 +216,14 @@ def test_giant_open_tx_buffers_in_chunks(spark, tmp_path):
         pdf = df.toPandas()
         released.append(pdf)
         if len(pdf):
+            # delta commits: per-trigger append instead of a full COW
+            # merge — the property under test is the assembler's chunked
+            # buffering/release, not the sink mode (the merge sink is
+            # covered by test_tailing_assembles_cross_batch_transactions)
             replay_batch(
                 df, LakeTable.load(spark, root),
-                PipelineConfig(num_buckets=8), f"giant-{bid}",
+                PipelineConfig(num_buckets=8, delta_commits=True),
+                f"giant-{bid}",
             )
 
     stream = (
@@ -237,7 +252,7 @@ def test_giant_open_tx_buffers_in_chunks(spark, tmp_path):
             assert int((p["op"] == "C").sum()) >= 1, "epoch missing Commit"
     # buffering happened: the largest release is much bigger than any
     # single trigger's file (the buffered chunks came out at commit time)
-    assert max(len(p) for p in released) > (n_rows + 4) // 10 + 1
+    assert max(len(p) for p in released) > (n_rows + 4) // 6 + 1
     got = _final(spark, root)
     assert len(got) == n_rows
     assert got[("big", "f7")] == "v7"

@@ -37,6 +37,30 @@ from .operators.registry import RelationRegistry, typed_changes
 from .trace import framed, generator, spec
 
 AMPLIFY = 2  # CDC key-space amplification for driver queries
+
+_SCRATCH_ROOTS: list[str] = []
+
+
+def _scratch(prefix: str) -> str:
+    """Gate-query scratch dir (throwaway lake roots / checkpoints).
+
+    Prefers tmpfs: gate queries measure engine semantics, and /tmp in
+    the sandbox is a shared physical disk whose co-tenant contention
+    can multiply the many small parquet commits these replays perform.
+    Dirs are removed at interpreter exit (a gate run creates several)."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    d = tempfile.mkdtemp(prefix=prefix, dir=base)
+    if not _SCRATCH_ROOTS:
+        import atexit
+        import shutil
+
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SCRATCH_ROOTS]
+        )
+    _SCRATCH_ROOTS.append(d)
+    return d
+
+
 FIELDS = [
     ("repo", "string"),
     ("path", "string"),
@@ -148,7 +172,7 @@ def _replay_through_lake(spark: SparkSession, sf_dir: str, **trace_kw) -> DataFr
     from .pipeline import replay_batch
 
     trace = generator.build_trace(spark, sf_dir, amplify=AMPLIFY, **trace_kw)
-    root = tempfile.mkdtemp(prefix="wal_lake_")
+    root = _scratch("wal_lake_")
     table = LakeTable.create(spark, root, ["repo", "path"], FIELDS, num_buckets=16)
     replay_batch(trace, table, PipelineConfig(num_buckets=16), "driver-batch")
     table = LakeTable.load(spark, root)
@@ -185,7 +209,7 @@ def q_cdc_tailing_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.tailing import run_tailing_stream
 
     trace = generator.build_trace(spark, sf_dir, amplify=AMPLIFY)
-    work = tempfile.mkdtemp(prefix="wal_tail_gate_")
+    work = _scratch("wal_tail_gate_")
     trace_dir = os.path.join(work, "trace")
     generator.write_trace(trace, trace_dir, num_files=6)
     root = os.path.join(work, "lake")
@@ -215,7 +239,7 @@ def q_cdc_tailing_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.tailing import run_tailing_stream
 
     trace = generator.build_trace(spark, sf_dir, amplify=AMPLIFY)
-    work = tempfile.mkdtemp(prefix="wal_drain_gate_")
+    work = _scratch("wal_drain_gate_")
     trace_dir = os.path.join(work, "trace")
     generator.write_trace(trace, trace_dir, num_files=6)
     root = os.path.join(work, "lake")
@@ -283,7 +307,7 @@ def q_cdc_delta_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i in range(4)
     ]
-    root = tempfile.mkdtemp(prefix="wal_delta_")
+    root = _scratch("wal_delta_")
     table = LakeTable.create(spark, root, ["repo", "path"], FIELDS, num_buckets=16)
     cfg = PipelineConfig(num_buckets=16, delta_commits=True)
     for i in (2, 0, 2, 1):  # out of order + epoch 2 replayed (no-op)
@@ -400,7 +424,7 @@ def q_cdc_event_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     committed, _ = assemble_transactions(trace)
     ev = events_op.to_events(committed, spec.SCHEMA_NAME, spec.TABLE_NAME)
     redelivered = ev.unionByName(ev.filter(F.col("lsn") % 7 == 0))
-    feed_dir = tempfile.mkdtemp(prefix="wal_feed_")
+    feed_dir = _scratch("wal_feed_")
     redelivered.write.mode("overwrite").parquet(feed_dir)
     stream = spark.readStream.schema(redelivered.schema).parquet(feed_dir)
     payload = kafka_payload(
@@ -412,7 +436,7 @@ def q_cdc_event_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload.writeStream.format("memory")
         .queryName(sink)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="wal_feed_ckpt_")
+            "checkpointLocation", _scratch("wal_feed_ckpt_")
         )
         .trigger(availableNow=True)
         .start()
@@ -506,7 +530,7 @@ def q_cdc_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     trace = generator.build_trace(spark, sf_dir, amplify=AMPLIFY)
     nk = generator.num_keys(spark, sf_dir, AMPLIFY)
     split_lsn = (nk // 2 + 1) * 16  # key k owns LSN slot [(k+1)*16, ...)
-    root = tempfile.mkdtemp(prefix="wal_lineage_")
+    root = _scratch("wal_lineage_")
     table = LakeTable.create(spark, root, ["repo", "path"], FIELDS, num_buckets=16)
     cfg = PipelineConfig(num_buckets=16)
     replay_batch(trace.filter(F.col("lsn") < split_lsn), table, cfg, "e0")
@@ -535,7 +559,7 @@ def q_cdc_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     trace = generator.build_trace(spark, sf_dir, amplify=AMPLIFY)
     nk = generator.num_keys(spark, sf_dir, AMPLIFY)
     split_lsn = (nk // 2 + 1) * spec.SLOT  # key k owns [(k+1)*SLOT, ...)
-    root = tempfile.mkdtemp(prefix="wal_maint_")
+    root = _scratch("wal_maint_")
     table = LakeTable.create(spark, root, ["repo", "path"], FIELDS, num_buckets=16)
     cfg = PipelineConfig(num_buckets=16)
     replay_batch(trace.filter(F.col("lsn") < split_lsn), table, cfg, "e0")
