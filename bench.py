@@ -96,9 +96,17 @@ SCALE_AMPLIFY = int(os.environ.get("BENCH_SCALE_AMPLIFY", str(AMPLIFY * 8)))
 #: against contended hi reps. At least 2 pairs run (budget permitting),
 #: up to this many while budget holds.
 SCALE_PAIRS = int(os.environ.get("BENCH_SCALE_PAIRS", "4"))
+#: scaling-pair heap sizing: GiB of JVM heap PER THREAD, so both sides
+#: of the N->4N pair run with the SAME per-core memory — exactly what a
+#: real cluster gives its executors (every executor has the same
+#: spark.executor.memory regardless of cluster width). A flat heap
+#: (rounds 3-4) modeled the lo side as an executor with 4x the per-core
+#: memory of the hi side, biasing the pair AGAINST scale-up. 3 GiB/thread
+#: puts the hi (8-thread) side at 24g == the headline config.
+HEAP_PER_THREAD_G = int(os.environ.get("BENCH_HEAP_PER_THREAD_G", "3"))
 DECODE_AMPLIFY = max(AMPLIFY // 10, 1)
 
-BUDGET = float(os.environ.get("BENCH_TIME_BUDGET", "1500"))
+BUDGET = float(os.environ.get("BENCH_TIME_BUDGET", "2100"))
 #: end-of-run slack the scheduler always protects (final emit, cleanup)
 MARGIN = 60.0
 T_START = time.time()
@@ -112,6 +120,14 @@ FIELDS = [
 
 
 def _remaining() -> float:
+    """Seconds left before the hard deadline. Replay CHILD processes
+    inherit the parent's deadline through ``BENCH_DEADLINE`` (absolute
+    epoch) — round 5's run-1 lesson: a child that restarts its own clock
+    lets one polluted scaling pair eat the whole budget and starve every
+    gate section behind it."""
+    dl = os.environ.get("BENCH_DEADLINE")
+    if dl:
+        return float(dl) - time.time()
     return BUDGET - (time.time() - T_START)
 
 
@@ -219,6 +235,42 @@ def _child_cpu_seconds() -> float:
         except (OSError, IndexError, ValueError):
             continue
     return total
+
+
+def _tree_cpu_seconds() -> float:
+    """TOTAL engine CPU: every live descendant of this process (the JVM
+    plus the pyspark.daemon fork-server and its Arrow python workers)
+    PLUS each descendant's reaped-children counters (cutime/cstime —
+    workers that exited mid-run would otherwise vanish). The JVM-only
+    counter under-reports utilization during ``mapInPandas`` phases:
+    JVM task threads block on the Arrow socket while python workers burn
+    the cores, and the N->4N utilization story must see that work."""
+    me = os.getpid()
+    hz = os.sysconf("SC_CLK_TCK")
+    # pid -> (ppid, self_ticks + reaped_children_ticks)
+    procs: dict[int, tuple[int, int]] = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                rest = f.read().rsplit(")", 1)[1].split()
+            procs[int(pid)] = (
+                int(rest[1]),
+                int(rest[11]) + int(rest[12])      # utime+stime
+                + int(rest[13]) + int(rest[14]),   # cutime+cstime (reaped)
+            )
+        except (OSError, IndexError, ValueError):
+            continue
+    mine = {me}
+    grew = True
+    while grew:  # BFS over the ppid forest
+        grew = False
+        for pid, (ppid, _) in procs.items():
+            if ppid in mine and pid not in mine:
+                mine.add(pid)
+                grew = True
+    return sum(t for pid, (_, t) in procs.items() if pid in mine and pid != me) / hz
 
 
 # ------------------------------------------------------------------- sessions
@@ -363,6 +415,12 @@ def replay_subcommand(
     polluted_log: list[dict] = []
     clean = 0
     while clean < want and len(runs) < want + extra:
+        # deadline-aware: rep 1 always runs (a side with zero reps is a
+        # lost gate), but every FURTHER rep — clean-quota or polluted
+        # retry — must fit in the inherited budget, estimated from the
+        # fastest rep so far plus quiet-wait slack
+        if runs and _remaining() < min(r[0] for r in runs) * 1.25 + 30:
+            break
         table = _mk_target(f"lake{len(runs)}")
         # the quiet gate scales with OUR width: a 2-thread rep beside an
         # 8-core co-tenant burst is polluted even though host-relative
@@ -371,6 +429,7 @@ def replay_subcommand(
             thresh=max(2.0, min(cpus * 0.75, (os.cpu_count() or 32) * 0.33))
         )
         c0 = _child_cpu_seconds()
+        tc0 = _tree_cpu_seconds()
         st0 = _steal_ticks()
         t0 = time.time()
         replay_batch(
@@ -387,6 +446,7 @@ def replay_subcommand(
         )
         wall = round(time.time() - t0, 3)
         cpu = round(_child_cpu_seconds() - c0, 2)
+        cpu_tree = round(_tree_cpu_seconds() - tc0, 2)
         steal_s = round((_steal_ticks() - st0) / os.sysconf("SC_CLK_TCK"), 2)
         load1 = float(open("/proc/loadavg").read().split()[0])
         strays = _stray_jvms()
@@ -401,7 +461,7 @@ def replay_subcommand(
             or load1 > cpus + 2.0
             or steal_s > 0.03 * wall * cpus
         )
-        runs.append((wall, cpu, steal_s))
+        runs.append((wall, cpu, steal_s, cpu_tree))
         if dirty:
             polluted_log.append(
                 {"rep": len(runs) - 1, "loadavg": load1,
@@ -419,8 +479,10 @@ def replay_subcommand(
         "sec": sorted(r[0] for r in runs)[len(runs) // 2],
         "sec_min": min(r[0] for r in runs),
         "cpu_sec_min": min(r[1] for r in runs),
+        "cpu_tree_sec_min": min(r[3] for r in runs),
         "runs": [r[0] for r in runs], "runs_cpu": [r[1] for r in runs],
         "runs_steal": [r[2] for r in runs],
+        "runs_cpu_tree": [r[3] for r in runs],
         "polluted": polluted_log,
         "events": n_events,
         "loadavg": open("/proc/loadavg").read().split()[0],
@@ -432,8 +494,18 @@ def _run_replay(
     quiet_wait_s: float | None = None, pre_salt: int = 0,
     warm_rows: int | None = None, polluted_extra: int | None = None,
     mode: str = "table",
+    deadline: float | None = None,
+    heap_per_thread_g: int | None = None,
 ) -> dict:
     env = dict(os.environ)
+    # the child inherits an ABSOLUTE deadline: its own quiet waits and
+    # polluted-rep retries cap themselves against it (sections can pass
+    # a tighter one to protect the gates scheduled after them)
+    env["BENCH_DEADLINE"] = str(
+        deadline if deadline is not None else T_START + BUDGET - MARGIN
+    )
+    if heap_per_thread_g is not None:
+        env["SPARK_DRIVER_MEM"] = f"{max(heap_per_thread_g * cpus, 4)}g"
     if reps is not None:
         env["BENCH_REPS"] = str(reps)
     if quiet_wait_s is not None and "BENCH_QUIET_WAIT" not in os.environ:
@@ -506,7 +578,12 @@ def main() -> None:
 
     # ---- section: headline replay (local[CPUS] cold-JVM subprocess) -----
     def sec_headline() -> None:
-        hi = _run_replay(trace_dir, CPUS, buckets, reps=HEADLINE_REPS)
+        # short reps (~7s) don't justify 60s quiet waits apiece; the
+        # section deadline protects the scaling gate scheduled next
+        hi = _run_replay(
+            trace_dir, CPUS, buckets, reps=HEADLINE_REPS, quiet_wait_s=25,
+            deadline=time.time() + max(min(_remaining() - 900.0, 300.0), 120.0),
+        )
         queries[f"replay_local{CPUS}"] = hi["sec_min"]
         out["events"] = hi["events"]
         out["value"] = hi["sec_min"]
@@ -529,17 +606,23 @@ def main() -> None:
                                amplify=SCALE_AMPLIFY, files=max(CPUS * 3, 24))
         )
         sides: dict[int, dict] = {
-            n: {"runs": [], "runs_cpu": [], "runs_steal": [], "polluted": [],
-                "loadavg": []}
+            n: {"runs": [], "runs_cpu": [], "runs_steal": [],
+                "runs_cpu_tree": [], "polluted": [], "loadavg": []}
             for n in (SCALE_LO, SCALE_HI)
         }
         scale_events = 0
         # reserve for the gate sections that still follow scaling
-        reserve = 330.0
+        reserve = 360.0
+        # the whole SECTION gets a hard deadline protecting that
+        # reserve; each child rep inherits it (run-1 lesson: one
+        # steal-storm pair ran 1630s and starved drain/latency/skew)
+        sec_deadline = time.time() + max(_remaining() - reserve - MARGIN, 240.0)
         pair_est = 400.0  # refined from the measured first pair
         pairs_done = 0
         while pairs_done < SCALE_PAIRS:
-            if pairs_done >= 1 and _remaining() - pair_est < reserve + MARGIN:
+            if pairs_done >= 1 and (
+                sec_deadline - time.time()
+            ) < pair_est * 0.9:
                 break
             t_pair = time.time()
             order = (
@@ -549,9 +632,11 @@ def main() -> None:
             for n in order:
                 r = _run_replay(scale_dir, n, buckets, reps=1,
                                 quiet_wait_s=60, warm_rows=2_000_000,
-                                polluted_extra=1)
+                                polluted_extra=1, deadline=sec_deadline,
+                                heap_per_thread_g=HEAP_PER_THREAD_G)
                 sides[n]["runs"] += r["runs"]
                 sides[n]["runs_cpu"] += r["runs_cpu"]
+                sides[n]["runs_cpu_tree"] += r.get("runs_cpu_tree") or []
                 sides[n]["runs_steal"] += r.get("runs_steal") or []
                 sides[n]["polluted"] += r.get("polluted") or []
                 sides[n]["loadavg"].append(r["loadavg"])
@@ -568,6 +653,7 @@ def main() -> None:
             rr = out.setdefault("replay_runs", {})
             rr[f"local{tag}"] = sides[tag]["runs"]
             rr[f"local{tag}_cpu"] = sides[tag]["runs_cpu"]
+            rr[f"local{tag}_cpu_tree"] = sides[tag]["runs_cpu_tree"]
             rr[f"local{tag}_steal"] = sides[tag]["runs_steal"]
             rr[f"loadavg{tag}"] = ",".join(sides[tag]["loadavg"])
             if sides[tag]["polluted"]:
@@ -605,6 +691,16 @@ def main() -> None:
             "hi_cpu_utilization": round(hi_c / (SCALE_HI * hi_w), 3),
             "scale_events": scale_events,
         }
+        # FULL-TREE accounting (JVM + pyspark daemons/Arrow workers):
+        # the JVM-only counter reads idle during mapInPandas phases while
+        # python workers burn the cores; total-engine CPU per event and
+        # the utilizations it implies ship for transparency
+        tlo = sides[SCALE_LO]["runs_cpu_tree"]
+        thi = sides[SCALE_HI]["runs_cpu_tree"]
+        if tlo and thi:
+            out["scaling"]["tree_cpu_sec_lo"] = min(tlo)
+            out["scaling"]["tree_cpu_sec_hi"] = min(thi)
+            out["scaling"]["tree_cpu_inflation"] = round(min(thi) / min(tlo), 3)
 
     # ---- section: drain-mode tailing throughput -------------------------
     def sec_drain() -> None:
@@ -892,9 +988,11 @@ def main() -> None:
         # single thread replays ~25x slower than local[32], so even that
         # input gives a 100+ second timed region.
         lo1 = _run_replay(trace_dir, 1, buckets, reps=2, quiet_wait_s=60,
-                          warm_rows=250000, polluted_extra=1)
+                          warm_rows=250000, polluted_extra=1,
+                          heap_per_thread_g=HEAP_PER_THREAD_G)
         hi4 = _run_replay(trace_dir, 4, buckets, reps=2, quiet_wait_s=60,
-                          warm_rows=250000, polluted_extra=1)
+                          warm_rows=250000, polluted_extra=1,
+                          heap_per_thread_g=HEAP_PER_THREAD_G)
         thr1 = lo1["events"] / lo1["sec_min"]
         thr4 = hi4["events"] / hi4["sec_min"]
         out.setdefault("scaling", {})["confirm_1to4"] = {
