@@ -9,7 +9,7 @@ the unfinished section, never the round):
    "events": N, "throughput_eps": ..., "scaling": {...}, ...}
 
 TIME BUDGET (the round-4 lesson: the artifact must be engineered like
-the engine). ``BENCH_TIME_BUDGET`` seconds (default 1500) is a hard
+the engine). ``BENCH_TIME_BUDGET`` seconds (default 2100) is a hard
 deadline: sections run in gate-priority order — headline replay, the
 N->4N scaling pair, drain throughput, live-tail latency, skew — and a
 section only starts if its cost estimate fits in the remaining budget
@@ -55,7 +55,7 @@ that pollutes another's CPU. All raw numbers (per-rep wall + CPU +
 hypervisor-steal + loadavg) ship alongside so the judge can recompute.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32), BENCH_TIME_BUDGET (default 1500),
+SPARK_GRAFT_CPUS (default 32), BENCH_TIME_BUDGET (default 2100),
 BENCH_AMPLIFY (default 400), BENCH_REPS (default 3),
 BENCH_SCALE_LO/BENCH_SCALE_HI (default 2/8), BENCH_SCALE_AMPLIFY
 (default 8x headline), BENCH_SCALE_PAIRS (max interleaved pairs,
@@ -929,8 +929,11 @@ def main() -> None:
 
         def _build_multi(sp, d):
             t0 = time.time()
-            nk = generator.num_keys(sp, SF_DIR, AMPLIFY)
-            tr = generator.build_trace(sp, SF_DIR, amplify=AMPLIFY, k_evo=nk)
+            # SAME events as the headline trace, resharded over 16
+            # relations — no evolution knob, so the ratio below isolates
+            # catalog overhead (evolution's Arrow cast path is gated
+            # separately by cdc_schema_evolution)
+            tr = generator.build_trace(sp, SF_DIR, amplify=AMPLIFY)
             write_tx_aligned(
                 generator.reshard_relations(tr, n_rel), d,
                 num_files=max(CPUS * 2, 16),
@@ -938,15 +941,21 @@ def main() -> None:
             queries["trace_gen_multi"] = round(time.time() - t0, 3)
 
         multi_dir = _cached_trace(spark, "multi", _build_multi,
-                                  amplify=AMPLIFY, n_rel=n_rel)
+                                  amplify=AMPLIFY, n_rel=n_rel, evo=0)
         r = _run_replay(multi_dir, CPUS, buckets, reps=1, polluted_extra=1,
                         mode="catalog")
+        # contemporaneous single-table reference rep (same host weather —
+        # comparing against the headline minimum from a different part of
+        # the run let co-tenant noise masquerade as catalog overhead)
+        r1 = _run_replay(trace_dir, CPUS, buckets, reps=1, polluted_extra=1)
         queries["replay_multitable"] = r["sec_min"]
         out["multitable"] = {
             "relations": n_rel,
             "events": r["events"],
             "sec": r["sec_min"],
-            "vs_single_table": (
+            "single_table_sec": r1["sec_min"],
+            "vs_single_table": round(r["sec_min"] / r1["sec_min"], 3),
+            "vs_headline": (
                 round(r["sec_min"] / out["value"], 3) if out.get("value") else None
             ),
         }
@@ -1022,7 +1031,7 @@ def main() -> None:
         ("tailing_latency", 110, sec_latency),
         ("skew", 150, sec_skew),
         ("micro", 60, sec_micro),
-        ("multitable", 90, sec_multitable),
+        ("multitable", 130, sec_multitable),
         ("assembler", 60, sec_assembler),
         ("confirm_1to4", 360, sec_confirm),
     ]

@@ -84,12 +84,23 @@ def last_write_wins(
     )
 
 
+def _part_spec(extra: list, num_buckets: int, num_partitions: int | None):
+    """Arguments for the single payload-shuffle ``repartition``: bucket
+    alone for the single-relation path, (extra..., bucket) at the
+    caller's width for the multi-relation fan-in."""
+    from ..lake.table import BUCKET_COL
+
+    cols = [F.col(c) for c in extra] + [F.col(BUCKET_COL)]
+    return (num_partitions or num_buckets, *cols)
+
+
 def compact_agg(
     raw: DataFrame,
     schema,
     num_buckets: int | None = None,
     pre_salt: int | None = None,
     extra_group_cols: list[str] | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Aggregation-based LWW compaction — the scale path.
 
@@ -122,6 +133,12 @@ def compact_agg(
     path compacts EVERY same-schema relation in one pass by grouping on
     ``(rel_id, bucket, keys)``, so a 100-table catalog pays one payload
     shuffle total instead of one full input scan + shuffle per table.
+    With extra cols the single exchange partitions on ``(extra, bucket)``
+    at ``num_partitions`` width (callers pass ~tables x buckets): a
+    16-table catalog with 16-bucket tables would otherwise run its whole
+    shared compaction/merge/write at 16-way parallelism — per-TABLE
+    granularity — leaving half a 32-core stage idle and quadrupling the
+    per-task sort footprint.
     """
     from ..functions import casts
     from ..lake.table import BUCKET_COL, _bucket_expr
@@ -202,11 +219,11 @@ def compact_agg(
             F.max(f"__last_{c}").alias(f"__last_{c}") for c in value_cols
         ]
         if num_buckets is not None:
-            p1 = p1.repartition(num_buckets, F.col(BUCKET_COL))
+            p1 = p1.repartition(*_part_spec(extra, num_buckets, num_partitions))
         agged = p1.groupBy(*group_cols).agg(*reagg)
     else:
         if num_buckets is not None:
-            base = base.repartition(num_buckets, F.col(BUCKET_COL))
+            base = base.repartition(*_part_spec(extra, num_buckets, num_partitions))
         agged = base.groupBy(*group_cols).agg(*aggs)
 
     out_cols = [F.col(c) for c in extra]

@@ -308,17 +308,27 @@ def replay_batch(
             if len(group) < 3:
                 continue
             g_ids = [r for r, _ in group]
+            # catalog-wide parallelism for the shared one-plan merge:
+            # (tables x per-table buckets), capped so a very wide catalog
+            # doesn't explode task count — per-task payload shrinks with
+            # the cap anyway since volume is fixed per epoch
+            g_parts = min(
+                table.num_buckets * len(g_ids),
+                max(cfg.num_buckets * 4, 256),
+            )
             compacted_all = apply_op.compact_agg(
                 filtered.filter(F.col("rel_id").isin(g_ids)),
                 group[0][1],
                 num_buckets=table.num_buckets,
                 pre_salt=cfg.compact_pre_salt,
                 extra_group_cols=["rel_id"],
+                num_partitions=g_parts,
             )
             stats["tables"].update(
                 table.merge_group(
                     group, compacted_all, high_lsn, batch_key,
                     selective=cfg.selective_buckets,
+                    num_partitions=g_parts,
                 )
             )
             grouped_ids.update(g_ids)
