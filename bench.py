@@ -775,64 +775,90 @@ def main() -> None:
             until_lsn=warm_max, timeout_s=60.0, state_partitions=4,
         )
         # latency is a wall-clock-sensitive in-process measurement with
-        # no subprocess retry machinery — gate it on a quiet window too
-        _wait_quiet(90)
-        live_dir = os.path.join(work, "live_feed")
-        os.makedirs(live_dir)
-        live_root = os.path.join(work, "live_lake")
-        LakeTable.create(spark, live_root, ["repo", "path"], FIELDS,
-                         num_buckets=buckets)
-        feed_times: dict[str, float] = {}
-        # slice 0 lands before stream start (registry seeding needs R rows)
-        shutil.move(os.path.join(lat_staged, parts[0]),
-                    os.path.join(live_dir, parts[0]))
-        feed_times[parts[0]] = time.time()
+        # no subprocess retry machinery — gate each rep on a quiet
+        # window and take the best of (budget-permitting) two reps:
+        # the same minimum-estimates-the-uncontended-cost logic the
+        # replay reps use (identical feeds measure p50 swings of
+        # several seconds with host weather).
+        def _latency_rep(rep_i: int) -> dict | None:
+            stage_i = os.path.join(work, f"live_stage{rep_i}")
+            shutil.copytree(lat_staged, stage_i)
+            live_dir = os.path.join(work, f"live_feed{rep_i}")
+            os.makedirs(live_dir)
+            live_root = os.path.join(work, f"live_lake{rep_i}")
+            LakeTable.create(spark, live_root, ["repo", "path"], FIELDS,
+                             num_buckets=buckets)
+            feed_times: dict[str, float] = {}
+            # slice 0 lands before stream start (registry seeding needs
+            # R rows)
+            shutil.move(os.path.join(stage_i, parts[0]),
+                        os.path.join(live_dir, parts[0]))
+            feed_times[parts[0]] = time.time()
 
-        def _feed() -> None:
-            for p in parts[1:]:
-                time.sleep(0.25)
-                shutil.move(os.path.join(lat_staged, p),
-                            os.path.join(live_dir, p))
-                feed_times[p] = time.time()
+            def _feed() -> None:
+                for p in parts[1:]:
+                    time.sleep(0.25)
+                    shutil.move(os.path.join(stage_i, p),
+                                os.path.join(live_dir, p))
+                    feed_times[p] = time.time()
 
-        feeder = threading.Thread(target=_feed, daemon=True)
-        feeder.start()
-        # latency-sized config: merge-on-read delta commits (append +
-        # manifest swap per trigger; fold amortized) and a narrow state
-        # width — a 250 ms trigger's fixed cost is one state commit and
-        # one Python assembler invocation PER STATE PARTITION, so width
-        # sizes to trigger volume, not to the session's core count
-        records = run_live_tail(
-            spark, live_dir, live_root, os.path.join(work, "live_ckpt"),
-            cfg=PipelineConfig(num_buckets=buckets, delta_commits=True),
-            processing_interval="250 milliseconds", marker_ttl_ms=30_000,
-            until_lsn=lat_max, timeout_s=min(180.0, max(_remaining() - MARGIN, 30.0)),
-            state_partitions=4,
-        )
-        feeder.join(timeout=10)
-        cum, applied_seq = -1, []
-        for r in records:
-            for m in (r["stats"].get("tables") or {}).values():
-                cum = max(cum, m.get("high_lsn") or -1)
-            applied_seq.append((r["t_commit"], cum))
-        lats = sorted(
-            (tc - feed_times[p]) * 1000
-            for p in feed_times
-            for tc, c in applied_seq
-            if c >= fmax[p] and tc >= feed_times[p]
-            # first qualifying commit only:
-            and not any(
-                c2 >= fmax[p] and feed_times[p] <= tc2 < tc
-                for tc2, c2 in applied_seq
+            feeder = threading.Thread(target=_feed, daemon=True)
+            feeder.start()
+            # latency-sized config: merge-on-read delta commits (append
+            # + manifest swap per trigger; fold amortized) and a narrow
+            # state width — a 250 ms trigger's fixed cost is one state
+            # commit and one Python assembler invocation PER STATE
+            # PARTITION, so width sizes to trigger volume, not to the
+            # session's core count
+            records = run_live_tail(
+                spark, live_dir, live_root,
+                os.path.join(work, f"live_ckpt{rep_i}"),
+                cfg=PipelineConfig(num_buckets=buckets, delta_commits=True),
+                processing_interval="250 milliseconds", marker_ttl_ms=30_000,
+                until_lsn=lat_max,
+                timeout_s=min(180.0, max(_remaining() - MARGIN, 30.0)),
+                state_partitions=4,
             )
-        )
-        if lats:
-            out["tailing_latency_ms"] = {
+            feeder.join(timeout=10)
+            cum, applied_seq = -1, []
+            for r in records:
+                for m in (r["stats"].get("tables") or {}).values():
+                    cum = max(cum, m.get("high_lsn") or -1)
+                applied_seq.append((r["t_commit"], cum))
+            lats = sorted(
+                (tc - feed_times[p]) * 1000
+                for p in feed_times
+                for tc, c in applied_seq
+                if c >= fmax[p] and tc >= feed_times[p]
+                # first qualifying commit only:
+                and not any(
+                    c2 >= fmax[p] and feed_times[p] <= tc2 < tc
+                    for tc2, c2 in applied_seq
+                )
+            )
+            if not lats:
+                return None
+            return {
                 "p50": round(lats[len(lats) // 2], 1),
                 "p95": round(lats[min(len(lats) - 1, int(len(lats) * 0.95))], 1),
                 "slices": len(lats),
                 "trigger_ms": 250,
                 "events": lat_events,
+            }
+
+        reps: list[dict] = []
+        for rep_i in range(2):
+            if rep_i > 0 and _remaining() < 150 + MARGIN:
+                break
+            _wait_quiet(60 if rep_i == 0 else 30)
+            rr = _latency_rep(rep_i)
+            if rr is not None:
+                reps.append(rr)
+        if reps:
+            best = min(reps, key=lambda r: r["p50"])
+            out["tailing_latency_ms"] = {
+                **best, "reps": len(reps),
+                "p50_all": [r["p50"] for r in reps],
             }
 
     # ---- section: hot-key skew ------------------------------------------
@@ -1028,7 +1054,7 @@ def main() -> None:
         ("headline", 160, sec_headline),
         ("scaling", 500, sec_scaling),  # min: 1 pair + scale-trace gen
         ("tailing_drain", 75, sec_drain),
-        ("tailing_latency", 110, sec_latency),
+        ("tailing_latency", 160, sec_latency),
         ("skew", 150, sec_skew),
         ("micro", 60, sec_micro),
         ("multitable", 130, sec_multitable),
