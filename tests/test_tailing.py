@@ -204,8 +204,10 @@ def test_giant_open_tx_buffers_in_chunks(spark, tmp_path):
                  None, None, ts, None))
     trace = spark.createDataFrame(rows, TRACE_SCHEMA)
     trace_dir = str(tmp_path / "trace")
-    # many files, LSN-ordered split: the tx spans every file
-    generator.write_trace(trace, trace_dir, num_files=6)
+    # many files, LSN-ordered split: the tx spans every file (4 files
+    # = 4 availableNow triggers: enough to prove chunked buffering and
+    # straggler release while keeping the suite's slowest test bounded)
+    generator.write_trace(trace, trace_dir, num_files=4)
     root = str(tmp_path / "lake")
     _mk(spark, root)
     seed_registry(spark, trace_dir, root)
@@ -252,7 +254,7 @@ def test_giant_open_tx_buffers_in_chunks(spark, tmp_path):
             assert int((p["op"] == "C").sum()) >= 1, "epoch missing Commit"
     # buffering happened: the largest release is much bigger than any
     # single trigger's file (the buffered chunks came out at commit time)
-    assert max(len(p) for p in released) > (n_rows + 4) // 6 + 1
+    assert max(len(p) for p in released) > (n_rows + 4) // 4 + 1
     got = _final(spark, root)
     assert len(got) == n_rows
     assert got[("big", "f7")] == "v7"
