@@ -956,10 +956,14 @@ def main() -> None:
         def _build_multi(sp, d):
             t0 = time.time()
             # SAME events as the headline trace, resharded over 16
-            # relations — no evolution knob, so the ratio below isolates
-            # catalog overhead (evolution's Arrow cast path is gated
-            # separately by cdc_schema_evolution)
-            tr = generator.build_trace(sp, SF_DIR, amplify=AMPLIFY)
+            # relations. k_evo=nk SUPPRESSES mid-trace evolution (the
+            # generator defaults to evolving at nk//2, and resharded
+            # relations are all base-arity — reshard_relations
+            # docstring): the ratio below isolates catalog overhead,
+            # and evolution's Arrow cast path is gated separately by
+            # cdc_schema_evolution
+            nk = generator.num_keys(sp, SF_DIR, AMPLIFY)
+            tr = generator.build_trace(sp, SF_DIR, amplify=AMPLIFY, k_evo=nk)
             write_tx_aligned(
                 generator.reshard_relations(tr, n_rel), d,
                 num_files=max(CPUS * 2, 16),
@@ -967,7 +971,7 @@ def main() -> None:
             queries["trace_gen_multi"] = round(time.time() - t0, 3)
 
         multi_dir = _cached_trace(spark, "multi", _build_multi,
-                                  amplify=AMPLIFY, n_rel=n_rel, evo=0)
+                                  amplify=AMPLIFY, n_rel=n_rel, evo="none")
         r = _run_replay(multi_dir, CPUS, buckets, reps=1, polluted_extra=1,
                         mode="catalog")
         # contemporaneous single-table reference rep (same host weather —
