@@ -630,9 +630,17 @@ def main() -> None:
                 else (SCALE_HI, SCALE_LO)
             )
             for n in order:
+                # polluted_extra=0: a polluted rep's retry samples the
+                # SAME weather moments later and doubles the pair's
+                # cost, squeezing later pairs out of the budget. The
+                # cross-pair interleave IS the retry — minima are taken
+                # over all pairs, and distinct pairs sample distinct
+                # weather (measured: the in-pair-retry protocol fit 1
+                # pair per run; three runs' pair-1 draws spanned
+                # eff_wall 0.58-0.85)
                 r = _run_replay(scale_dir, n, buckets, reps=1,
                                 quiet_wait_s=60, warm_rows=2_000_000,
-                                polluted_extra=1, deadline=sec_deadline,
+                                polluted_extra=0, deadline=sec_deadline,
                                 heap_per_thread_g=HEAP_PER_THREAD_G)
                 sides[n]["runs"] += r["runs"]
                 sides[n]["runs_cpu"] += r["runs_cpu"]
@@ -888,9 +896,14 @@ def main() -> None:
         hot = _run_replay(hot_dir, CPUS, buckets, reps=1, polluted_extra=1)
         hot_salted = _run_replay(hot_dir, CPUS, buckets, reps=1, pre_salt=16,
                                  polluted_extra=1)
+        # contemporaneous uniform reference (same host weather): the
+        # headline minimum comes from a different part of the run —
+        # run-3 measured hot/uniform = 0.65 purely because the headline
+        # window was contended
+        uni = _run_replay(trace_dir, CPUS, buckets, reps=1, polluted_extra=1)
         queries["replay_hot"] = hot["sec_min"]
         queries["replay_hot_salted"] = hot_salted["sec_min"]
-        uniform = out.get("value") or hot["sec_min"]
+        uniform = min(uni["sec_min"], out.get("value") or uni["sec_min"])
         out["skew"] = {
             "hot_events": hot["events"],
             "uniform_sec": uniform,
@@ -1059,7 +1072,7 @@ def main() -> None:
         ("scaling", 500, sec_scaling),  # min: 1 pair + scale-trace gen
         ("tailing_drain", 75, sec_drain),
         ("tailing_latency", 160, sec_latency),
-        ("skew", 150, sec_skew),
+        ("skew", 190, sec_skew),
         ("micro", 60, sec_micro),
         ("multitable", 130, sec_multitable),
         ("assembler", 60, sec_assembler),
