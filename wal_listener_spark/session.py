@@ -33,6 +33,24 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(ncores, 8)
 
+    # Tungsten execution memory OFF-HEAP (guide §5): the LWW hash
+    # aggregation and merge join hold the whole compacted change set in
+    # execution memory — on-heap that is multi-GB state surviving many
+    # young collections, and the first full-size batch on a cold JVM
+    # spends more CPU copying survivors than computing (measured: first
+    # rep 1218 JVM-CPU-s vs 137 steady-state on 4.2M events at
+    # local[32]; GC log shows 2-3 s young pauses promoting ~6 GB until
+    # ParallelGC's adaptive sizing settles). Off-heap pages are invisible
+    # to the collector, so per-rep GC work drops to the real garbage.
+    # Sized PER CORE (executors on a real cluster get the same
+    # per-core memoryOverhead regardless of cluster width); override
+    # with WAL_OFFHEAP_PER_CORE_G (0 disables), cap with WAL_OFFHEAP_MAX_G.
+    offheap_per_core = float(os.environ.get("WAL_OFFHEAP_PER_CORE_G", "1"))
+    offheap_mb = min(
+        int(offheap_per_core * ncores * 1024),
+        int(float(os.environ.get("WAL_OFFHEAP_MAX_G", "24")) * 1024),
+    )
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -51,6 +69,10 @@ def get_spark(
         # this is an executor JVM flag
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
     )
+    if offheap_mb > 0:
+        builder = builder.config(
+            "spark.memory.offHeap.enabled", "true"
+        ).config("spark.memory.offHeap.size", f"{offheap_mb}m")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
