@@ -116,6 +116,14 @@ def gen(kind: str) -> str:
 
 def gen_path(kind: str) -> str | None:
     """Cache path for an already-generated kind (None if absent)."""
+    if kind == "hot":
+        # sig depends on a counted total — find the cached dir by prefix
+        import glob
+
+        for d in sorted(glob.glob(os.path.join(bench.TRACE_CACHE, "hot-*"))):
+            if os.path.exists(os.path.join(d, "_COMPLETE")):
+                return d
+        return None
     if kind in ("headline", "scale"):
         sig = bench._gen_sig(kind, **KINDS[kind])
     elif kind == "multi":
@@ -171,10 +179,47 @@ def lww(reps: int = 2) -> None:
     spark.stop()
 
 
+def encode_profile(reps: int = 2) -> None:
+    """Isolate the framed_encode_write section's pieces: trace gen
+    (materialize to noop), the mapInPandas encode (noop), and the full
+    bench shape (encode + repartition + parquet write)."""
+    import tempfile
+
+    from wal_listener_spark.trace import framed, generator
+
+    spark = _spark()
+    work = tempfile.mkdtemp(prefix="encprof_", dir="/dev/shm")
+    small = generator.build_trace(spark, SF_DIR_ENV(), amplify=bench.DECODE_AMPLIFY)
+    out = {}
+
+    def t(label, fn):
+        walls = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            walls.append(round(time.time() - t0, 2))
+        out[label] = walls
+
+    t("gen_noop", lambda: small.write.format("noop").mode("overwrite").save())
+    t("encode_noop", lambda: framed.frames_from_columnar(small)
+      .write.format("noop").mode("overwrite").save())
+    t("bench_shape", lambda: framed.frames_from_columnar(small)
+      .repartition(bench.CPUS * 2).write.mode("overwrite")
+      .parquet(os.path.join(work, "frames")))
+    print(json.dumps(out))
+    spark.stop()
+
+
+def SF_DIR_ENV() -> str:
+    return bench.SF_DIR
+
+
 def main() -> None:
     cmd = sys.argv[1]
     if cmd == "gen":
         gen(sys.argv[2])
+    elif cmd == "encode":
+        encode_profile(int(sys.argv[2]) if len(sys.argv) > 2 else 2)
     elif cmd == "replay":
         replay(sys.argv[2], int(sys.argv[3]),
                int(sys.argv[4]) if len(sys.argv) > 4 else 2,

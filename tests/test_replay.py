@@ -205,3 +205,105 @@ def test_hot_update_storm_replay(spark, tmp_path):
     # functions as partial_<fn>), proving map-side combine collapses a
     # hot key's storm before any row crosses the wire
     assert "partial_" in below_last_exchange, plan
+
+
+def test_adaptive_storm_special_case_from_census(spark, tmp_path, monkeypatch):
+    """replay_batch derives hot-key handling from the census's free
+    per-tx statistics: a transaction above max(50k, 4x a reducer's fair
+    share) is special-cased in compact_agg (storm_txs — its rows
+    pre-aggregate separately and re-join the single-exchange plan as
+    partial maxes); storm-free batches keep the plain plan; explicit
+    compact_pre_salt config always wins over the derived handling.
+    The replayed STATE must be identical on every path (the oracle
+    drives that via test_hot_update_storm_replay; here the census
+    decision itself is pinned)."""
+    from wal_listener_spark.operators import apply as apply_op
+
+    seen: list = []
+    real = apply_op.compact_agg
+
+    def spy(*a, **kw):
+        seen.append((kw.get("pre_salt"), kw.get("storm_txs")))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(apply_op, "compact_agg", spy)
+
+    # storm-free batch: no special case derived
+    trace = generator.build_trace(spark, SF_DIR, amplify=1)
+    tb = LakeTable.create(
+        spark, str(tmp_path / "uni"), ["repo", "path"], FIELDS, num_buckets=8
+    )
+    pipeline.replay_batch(trace, tb, PipelineConfig(num_buckets=8), "b0")
+    assert seen == [(None, None)]
+
+    # a storm transaction above both thresholds must be special-cased;
+    # generating >50k real rows is CI budget, so drop the absolute floor
+    # to the test's scale by monkeypatching the census constant is not
+    # possible (it is an inline literal riding the census aggregate) —
+    # instead replay a storm below the floor and assert the DEFAULT
+    # path (documents the floor contract), then assert the explicit
+    # config override.
+    seen.clear()
+    hot = generator.build_trace(spark, SF_DIR, amplify=1, hot_updates=600)
+    tb2 = LakeTable.create(
+        spark, str(tmp_path / "hot"), ["repo", "path"], FIELDS, num_buckets=8
+    )
+    pipeline.replay_batch(hot, tb2, PipelineConfig(num_buckets=8), "b0")
+    assert seen == [(None, None)]  # 600 < 50k floor: no storm handling
+
+    seen.clear()
+    tb3 = LakeTable.create(
+        spark, str(tmp_path / "cfg"), ["repo", "path"], FIELDS, num_buckets=8
+    )
+    pipeline.replay_batch(
+        hot, tb3, PipelineConfig(num_buckets=8, compact_pre_salt=4), "b0"
+    )
+    assert seen == [(4, None)]
+
+
+def test_storm_special_case_state_matches_default(spark, tmp_path):
+    """compact_agg's storm_txs special case (storm rows pre-aggregated
+    separately, re-joined as partial maxes) must produce the identical
+    replayed state to the plain path and the salted path for the same
+    storm trace — driven end-to-end through replay_batch."""
+    n_hot = 500
+    trace = generator.build_trace(spark, SF_DIR, amplify=1, hot_updates=n_hot)
+    hot_tx = trace.filter(F.col("op") == "C").agg(
+        F.max("tx_id")
+    ).collect()[0][0]  # the storm tx has the highest tx id (nk + 10)
+
+    from wal_listener_spark.operators import apply as apply_op
+
+    states = {}
+    for label, kw in (
+        ("plain", {}),
+        ("storm", {"storm_txs": [int(hot_tx)]}),
+        ("salted", {"compact_pre_salt": 8}),
+    ):
+        root = str(tmp_path / f"lake_{label}")
+        tb = LakeTable.create(
+            spark, root, ["repo", "path"], FIELDS, num_buckets=8
+        )
+        if label == "storm":
+            real = apply_op.compact_agg
+
+            def forced(*a, **k):
+                k.setdefault("storm_txs", [int(hot_tx)])
+                return real(*a, **k)
+
+            apply_op.compact_agg = forced
+            try:
+                pipeline.replay_batch(
+                    trace, tb, PipelineConfig(num_buckets=8), "b0"
+                )
+            finally:
+                apply_op.compact_agg = real
+        else:
+            cfg = PipelineConfig(num_buckets=8, **kw)
+            pipeline.replay_batch(trace, tb, cfg, "b0")
+        states[label] = _state(spark, root)
+    assert states["plain"] == states["storm"] == states["salted"]
+    assert any(
+        v["content"] and f"#hv{n_hot - 1}" in v["content"]
+        for v in states["storm"].values()
+    )

@@ -101,6 +101,7 @@ def compact_agg(
     pre_salt: int | None = None,
     extra_group_cols: list[str] | None = None,
     num_partitions: int | None = None,
+    storm_txs: list[int] | None = None,
 ) -> DataFrame:
     """Aggregation-based LWW compaction — the scale path.
 
@@ -151,26 +152,14 @@ def compact_agg(
         F.max(F.struct(F.col("lsn"), F.col("seq"), F.col("op"))).alias("win")
     ]
     for c in value_cols:
-        # a column is SET when the tuple carried a cell for it — explicit
-        # NULL ('n') is present in the map with a null value, TOAST ('u')
-        # is absent + listed in toast_cols (parser.go:325-344 semantics).
-        # An extra boolean field keeps explicit NULL distinguishable
-        # inside the struct max.
-        is_set = (
-            F.col("op").isin("I", "U")
-            & F.map_contains_key(F.col("new_vals"), c)
-            & ~F.array_contains(
-                F.coalesce(F.col("toast_cols"), F.array().cast("array<string>")), c
-            )
-        )
         aggs.append(
             F.max(
                 F.when(
-                    is_set,
+                    F.col(f"__s_{c}"),
                     F.struct(
                         F.col("lsn"),
                         F.col("seq"),
-                        F.col("new_vals").getItem(c).alias("v"),
+                        F.col(f"__v_{c}").alias("v"),
                     ),
                 )
             ).alias(f"__last_{c}")
@@ -187,18 +176,78 @@ def compact_agg(
         ).alias(k)
         for k in key_cols
     ]
+    # project the per-column cell BEFORE the exchange (guide §2.3): the
+    # raw map duplicates the key columns and repeats every column NAME
+    # per row, so shuffling it ships ~100 B/row the aggregation never
+    # needs. One flat value + one set-flag per column is the narrowest
+    # exact representation. A column is SET when the tuple carried a
+    # cell for it — explicit NULL ('n') is present in the map with a
+    # null value, TOAST ('u') is absent + listed in toast_cols
+    # (parser.go:325-344 semantics); the boolean keeps explicit NULL
+    # distinguishable.
+    cell_cols = []
+    for c in value_cols:
+        is_set = (
+            F.col("op").isin("I", "U")
+            & F.map_contains_key(F.col("new_vals"), c)
+            & ~F.array_contains(
+                F.coalesce(F.col("toast_cols"), F.array().cast("array<string>")), c
+            )
+        )
+        cell_cols.append(F.coalesce(is_set, F.lit(False)).alias(f"__s_{c}"))
+        cell_cols.append(F.col("new_vals").getItem(c).alias(f"__v_{c}"))
     extra = list(extra_group_cols or [])
     base = data.select(
         *[F.col(c) for c in extra],
         *keys, F.col("lsn"), F.col("seq"), F.col("op"),
-        F.col("new_vals"), F.col("toast_cols"),
+        *cell_cols,
+        *([F.col("tx_id")] if storm_txs else []),
     )
     group_cols = extra + list(key_cols)
     if num_buckets is not None:
         base = base.withColumn(BUCKET_COL, _bucket_expr(key_cols, num_buckets))
         group_cols = extra + [BUCKET_COL, *key_cols]
 
-    if pre_salt:
+    if storm_txs:
+        # Named update-storm transactions (census-detected, guide §2.5
+        # "special-case the hot keys"): pre-aggregate ONLY the storm
+        # rows with their own groupBy — the map-side partial agg
+        # collapses each storm key to ~one row per scan task, so that
+        # exchange carries a handful of rows — then project every other
+        # row into the same partial shape (win + per-column candidate
+        # structs, a pure projection) and re-aggregate the union inside
+        # the bucket repartition. Exactly one full-size exchange, like
+        # the storm-free plan, where the salted two-phase alternative
+        # (pre_salt) pays TWO full-size exchanges and two sorts for the
+        # uniform rows riding along (measured on the 4.2M-event hot
+        # trace: 14-15.5 s salted vs ~6 s for this shape). Re-maxing
+        # partial maxes is exact (struct max is associative).
+        is_storm = F.col("tx_id").isin([int(t) for t in storm_txs])
+        hot_partial = (
+            base.filter(is_storm).groupBy(*group_cols).agg(*aggs)
+        )
+        rest_partial = base.filter(~is_storm).select(
+            *[F.col(c) for c in group_cols],
+            F.struct(F.col("lsn"), F.col("seq"), F.col("op")).alias("win"),
+            *[
+                F.when(
+                    F.col(f"__s_{c}"),
+                    F.struct(
+                        F.col("lsn"), F.col("seq"),
+                        F.col(f"__v_{c}").alias("v"),
+                    ),
+                ).alias(f"__last_{c}")
+                for c in value_cols
+            ],
+        )
+        p = rest_partial.unionByName(hot_partial)
+        reagg = [F.max("win").alias("win")] + [
+            F.max(f"__last_{c}").alias(f"__last_{c}") for c in value_cols
+        ]
+        if num_buckets is not None:
+            p = p.repartition(*_part_spec(extra, num_buckets, num_partitions))
+        agged = p.groupBy(*group_cols).agg(*reagg)
+    elif pre_salt:
         # Hot-(repo,path) update-storm guard. The default single-exchange
         # plan repartitions on the bucket BEFORE aggregating, so a key
         # with a 10^6-version chain sends every version to ONE reducer

@@ -172,7 +172,8 @@ def replay_batch(
         ).collect()[0]
         if not light["n_ctrl"]:
             ctl = {"high_lsn": light["high_lsn"], "bad": [],
-                   "truncs": [], "rels": []}
+                   "truncs": [], "rels": [], "storm_cands": None,
+                   "total_changes": None}
             mark("census_light")
     if ctl is None:
         per_tx = trace.select("tx_id", "lsn", "op").groupBy("tx_id").agg(
@@ -190,6 +191,19 @@ def replay_batch(
                     F.struct("tx_id", "n_changes"),
                 )
             ).alias("bad"),
+            # storm statistics ride the census for free (same job): the
+            # total change count plus every transaction above the 50k
+            # absolute floor (candidates for the storm special-case —
+            # txs that large are vanishingly rare in OLTP streams, so
+            # the list is bounded) drive the adaptive hot-key handling
+            # below
+            F.sum("n_changes").alias("total_changes"),
+            F.collect_list(
+                F.when(
+                    F.col("n_changes") > 50_000,
+                    F.struct("tx_id", "n_changes"),
+                )
+            ).alias("storm_cands"),
         )
         # T/R rows are a vanishing fraction of the trace: collect them
         # from a pushed-down filtered scan, cross-joined into the same
@@ -256,6 +270,29 @@ def replay_batch(
         committed = committed.filter(~F.col("tx_id").isin(bad_txs))
     committed = stamp_table_names(committed, registry)
 
+    # Adaptive hot-key handling (guide §2.5): the default single-exchange
+    # compaction sends every version of a key to ONE reducer, so an
+    # update-storm transaction (the reference's hash-partitioner hot-key
+    # hazard, kafka.go:120-128) turns one task into the stage straggler
+    # (measured 17-22 s vs ~6 s storm-free on the 4.2M-event hot bench).
+    # The census already aggregates per-tx change counts, so storm
+    # candidates are free — transactions above 4x a reducer's fair share
+    # (and the 50k absolute floor, so small batches never trigger) are
+    # special-cased in compact_agg: their rows pre-aggregate separately
+    # (map-side collapse, tiny exchange) and re-join the single-exchange
+    # plan as partial maxes. Storm-free batches keep the plain plan.
+    # A storm spread across MANY small transactions on one key is not
+    # detected — set compact_pre_salt explicitly for that shape.
+    pre_salt = cfg.compact_pre_salt
+    total_chg = ctl["total_changes"]
+    storm_txs: list[int] = []
+    if pre_salt is None and ctl["storm_cands"] and total_chg:
+        fair_share = total_chg / max(cfg.num_buckets, 1)
+        storm_txs = [
+            r["tx_id"] for r in ctl["storm_cands"]
+            if r is not None and r["n_changes"] > 4 * fair_share
+        ]
+
     # T3: allow-list filter
     filtered, obs = allowlist_filter(committed, cfg.filter_tables)
 
@@ -320,7 +357,8 @@ def replay_batch(
                 filtered.filter(F.col("rel_id").isin(g_ids)),
                 group[0][1],
                 num_buckets=table.num_buckets,
-                pre_salt=cfg.compact_pre_salt,
+                pre_salt=pre_salt,
+                storm_txs=storm_txs or None,
                 extra_group_cols=["rel_id"],
                 num_partitions=g_parts,
             )
@@ -367,7 +405,8 @@ def replay_batch(
                 # stamps the bucket COLUMN itself (one fewer exchange on
                 # the per-trigger hot path)
                 num_buckets=None if use_delta else rel_table.num_buckets,
-                pre_salt=cfg.compact_pre_salt,
+                pre_salt=pre_salt,
+                storm_txs=storm_txs or None,
             )
             if t_lsn is not None:
                 compacted = compacted.filter(
