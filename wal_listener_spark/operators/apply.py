@@ -36,6 +36,7 @@ def last_write_wins(
     lsn_col: str = "lsn",
     seq_col: str = "seq",
     emit_set_markers: bool = False,
+    extra_partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Compact a change set to one final row per key.
 
@@ -50,8 +51,14 @@ def last_write_wins(
     (both surface as NULL in the compacted value).
     """
     toastable = toastable_cols if toastable_cols is not None else value_cols
+    # extra_partition_cols: functionally key-dependent columns (e.g. the
+    # lake bucket) prepended to the window partitioning — groups are
+    # identical, but an input already hash-partitioned on the extra
+    # column alone then satisfies the window's clustered distribution
+    # (subset rule), so the window runs without its own exchange
+    part_cols = list(extra_partition_cols or []) + list(key_cols)
     w_fwd = (
-        Window.partitionBy(*key_cols)
+        Window.partitionBy(*part_cols)
         .orderBy(F.col(lsn_col).asc(), F.col(seq_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -74,7 +81,7 @@ def last_write_wins(
             df = df.withColumn(f"__setlsn_{c}", carried.getField("l"))
         df = df.withColumn(c, carried.getField("v"))
 
-    w_last = Window.partitionBy(*key_cols).orderBy(
+    w_last = Window.partitionBy(*part_cols).orderBy(
         F.col(lsn_col).desc(), F.col(seq_col).desc()
     )
     return (

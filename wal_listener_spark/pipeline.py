@@ -91,6 +91,8 @@ def compact_for_merge(
     census — running ``truncate_barrier_lsn`` here again would pay a
     dedicated collect job per batch for information the census already
     produced). Standalone callers omit it and pay the single scan."""
+    from .lake.table import BUCKET_COL
+
     if t_lsn is _UNSET:
         t_lsn = apply_op.truncate_barrier_lsn(typed)
     data = typed.filter(F.col("op").isin("I", "U", "D"))
@@ -100,6 +102,12 @@ def compact_for_merge(
         value_cols=schema.value_columns,
         toastable_cols=schema.value_columns,
         emit_set_markers=True,
+        # callers that pre-bucketed the typed frame get the windows
+        # partitioned by (bucket, keys) — same groups, but a
+        # bucket-aligned input then needs no window exchange
+        extra_partition_cols=(
+            [BUCKET_COL] if BUCKET_COL in typed.columns else None
+        ),
     )
     if t_lsn is not None:
         # keys fully before the barrier are wiped by the merge's
@@ -384,11 +392,25 @@ def replay_batch(
         t_lsn = trunc_by_rel.get(rel_id)
         use_delta = cfg.delta_commits and t_lsn is None
         if _os.environ.get("WAL_COMPACT") == "window":
+            from .lake.table import BUCKET_COL, _bucket_expr
+
             typed = typed_changes(rel_rows, schema)
+            if not use_delta:
+                # same prebucketed one-shuffle shape as the agg path:
+                # bucket stamped + repartitioned BEFORE the window, and
+                # the windows partition by (bucket, keys) — the single
+                # exchange then feeds window sort, merge join and the
+                # partitioned write (the A/B knob compares compaction
+                # strategies, not merge plans)
+                typed = typed.withColumn(
+                    BUCKET_COL,
+                    _bucket_expr(schema.key_columns, rel_table.num_buckets),
+                ).repartition(rel_table.num_buckets, F.col(BUCKET_COL))
             # barrier comes from the census — same job count as the
             # default agg path (no dedicated truncate collect)
             compacted, _ = compact_for_merge(typed, schema, t_lsn=t_lsn)
             merge_input = compacted.select(
+                *([BUCKET_COL] if not use_delta else []),
                 *schema.key_columns,
                 *schema.value_columns,
                 *[f"__set_{c}" for c in schema.value_columns],

@@ -68,6 +68,19 @@ def get_spark(
         # local mode (measured on the replay bench); on a real cluster
         # this is an executor JVM flag
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # Subset co-partitioning for joins (guide §2.4): the lake MERGE
+        # joins on (bucket, keys...) with BOTH sides repartitioned on
+        # the bucket alone — the designed storage-partitioned layout.
+        # With the default (true), Spark 4 refuses to co-partition on a
+        # key subset: it rewrote both sides to full-key hash exchanges,
+        # adding ONE ENTIRE extra shuffle of the compacted payload per
+        # merge (plan-verified: ENSURE_REQUIREMENTS exchange on
+        # (bucket, repo, path) above the compaction) and de-clustering
+        # the partitioned write (tasks held many buckets -> tasks x
+        # buckets output files instead of one per bucket). Subset
+        # co-partitioning is exactly what bucketed tables rely on; the
+        # bucket count already bounds merge-join parallelism by design.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
     if offheap_mb > 0:
         builder = builder.config(
