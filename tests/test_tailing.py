@@ -252,16 +252,23 @@ def test_giant_open_tx_buffers_in_chunks(spark, tmp_path):
     for p in released:
         if int(p["op"].isin(["I", "B"]).sum()):
             assert int((p["op"] == "C").sum()) >= 1, "epoch missing Commit"
-    # buffering happened: the largest release is much bigger than any
-    # single trigger's file (the buffered chunks came out at commit time)
-    assert max(len(p) for p in released) > (n_rows + 4) // 4 + 1
+    # NOTE deliberately NO "largest release is big" assertion here: the
+    # file source lists epochs in arbitrary order, and when the Commit's
+    # file happens to be listed FIRST every later file's rows release
+    # immediately as stragglers — no release then aggregates multiple
+    # triggers, and a size threshold flips on listing order (the round-5
+    # 1-in-2 full-suite flake). Chunked buffering is proven
+    # deterministically by the driver-side state stub below.
     got = _final(spark, root)
     assert len(got) == n_rows
     assert got[("big", "f7")] == "v7"
 
     # bounded state: rows in the state store are O(tx_buckets), never
     # O(transactions) — the property that keeps a 100-TB tail's state
-    # store from growing with throughput
+    # store from growing with throughput. Asserted over whatever
+    # progress events were retained (retention of recentProgress under
+    # host load is not this test's contract — the round-5 flake's other
+    # half); the stub below pins the per-bucket blob layout exactly.
     from wal_listener_spark.streaming.tailing import DEFAULT_TX_BUCKETS
 
     state_rows = [
@@ -269,7 +276,8 @@ def test_giant_open_tx_buffers_in_chunks(spark, tmp_path):
         for p in q.recentProgress
         if p.get("stateOperators")
     ]
-    assert state_rows and max(state_rows) <= DEFAULT_TX_BUCKETS + 1
+    for n in state_rows:
+        assert n <= DEFAULT_TX_BUCKETS + 1, state_rows
 
     # unit-level chunk behavior: driver-side state stub accumulates one
     # chunk per contributing trigger per open tx and never rewrites
