@@ -333,9 +333,11 @@ def test_grouped_merge_matches_single_table_state(spark, tmp_path):
     """The catalog's grouped one-plan merge (>=3 same-schema relations:
     one compaction, one join, one partitioned write, N manifest commits)
     must produce exactly the same rows as the single-table replay of the
-    same events — and a replayed epoch must no-op per table."""
-    from pyspark.sql import functions as F
-
+    same events — and a replayed epoch must no-op per table. Covers BOTH
+    merge modes: selective_buckets=True (cached stats pre-pass) and
+    False (wide mode: Observation counters riding the fused write job,
+    empty-union skip) — the two modes must also agree on the committed
+    upserts/deletes stats."""
     from wal_listener_spark.lake.catalog import LakeCatalog
     from wal_listener_spark.lake.table import LakeTable
     from wal_listener_spark.trace import generator
@@ -345,17 +347,6 @@ def test_grouped_merge_matches_single_table_state(spark, tmp_path):
     trace = generator.build_trace(spark, SF, amplify=1, k_evo=nk)
     multi = generator.reshard_relations(trace, 4)
 
-    cat = LakeCatalog.create(spark, str(tmp_path / "cat"), num_buckets=4)
-    cfg = PipelineConfig(num_buckets=4)
-    stats = pipeline.replay_batch(multi, cat, cfg, "g0")
-    assert len(stats["tables"]) == 4
-    assert all(m.get("grouped") for m in stats["tables"].values()), stats
-
-    # replayed epoch: every table no-ops on its batch key
-    cat = LakeCatalog.load(spark, str(tmp_path / "cat"))
-    stats2 = pipeline.replay_batch(multi, cat, cfg, "g0")
-    assert all(m.get("noop") for m in stats2["tables"].values())
-
     single_root = str(tmp_path / "single")
     LakeTable.create(
         spark, single_root, ["repo", "path"],
@@ -364,16 +355,39 @@ def test_grouped_merge_matches_single_table_state(spark, tmp_path):
         num_buckets=4,
     )
     pipeline.replay_batch(
-        trace, LakeTable.load(spark, single_root), cfg, "s0"
+        trace, LakeTable.load(spark, single_root),
+        PipelineConfig(num_buckets=4), "s0",
     )
-
-    cat = LakeCatalog.load(spark, str(tmp_path / "cat"))
-    got = {
-        (r["repo"], r["path"]): (r["commit"], r["content"])
-        for r in cat.read_public().drop("__table").collect()
-    }
     want = {
         (r["repo"], r["path"]): (r["commit"], r["content"])
         for r in LakeTable.load(spark, single_root).read_public().collect()
     }
-    assert got == want
+
+    mode_stats: dict[bool, dict] = {}
+    for mode in (True, False):
+        root = str(tmp_path / f"cat_sel_{mode}")
+        cat = LakeCatalog.create(spark, root, num_buckets=4)
+        cfg = PipelineConfig(num_buckets=4, selective_buckets=mode)
+        stats = pipeline.replay_batch(multi, cat, cfg, "g0")
+        assert len(stats["tables"]) == 4
+        assert all(m.get("grouped") for m in stats["tables"].values()), stats
+
+        # replayed epoch: every table no-ops on its batch key
+        cat = LakeCatalog.load(spark, root)
+        stats2 = pipeline.replay_batch(multi, cat, cfg, "g0")
+        assert all(m.get("noop") for m in stats2["tables"].values())
+
+        cat = LakeCatalog.load(spark, root)
+        got = {
+            (r["repo"], r["path"]): (r["commit"], r["content"])
+            for r in cat.read_public().drop("__table").collect()
+        }
+        assert got == want, f"selective_buckets={mode}"
+        mode_stats[mode] = {
+            name: (m["upserts"], m["deletes"])
+            for name, m in stats["tables"].items()
+        }
+
+    # the Observation-counter path must report the same per-table stats
+    # as the collected stats pre-pass
+    assert mode_stats[True] == mode_stats[False], mode_stats
